@@ -1,0 +1,418 @@
+"""TFHE bootstrapping engine: GGSW, external product, CMux, blind rotate,
+sample extract, key switch, programmable bootstrapping.
+
+TPU-native twin of the reference's `BootstrapEngine`
+(cpp/include/bootstrap_engine.h:39-176, cpp/src/bootstrap_engine.cpp:308-781)
+with two structural upgrades over the reference:
+
+1. **Correct gadget algebra.**  The reference decomposes the LOW bits of
+   coefficients while its gadget constants scale by q/base^(l+1) from the top
+   (bootstrap_engine.cpp:152-184 vs :283-292); on Delta-scaled accumulators
+   its external product is therefore ~zero and CMux degenerates.  Here the
+   scheme runs over the torus q = 2^32 (core/torus.py) with exact top-bit
+   signed decomposition matching the gadget, the textbook TFHE construction.
+2. **BSK resident in NTT domain.**  The reference re-transforms every GGSW
+   row on every external product (the known inefficiency flagged in
+   SURVEY.md §3.3); here the bootstrap key is NTT-transformed once per CRT
+   prime at keygen and blind rotate stays in the transform domain per step.
+
+Everything is batched: ciphertext structs take arbitrary leading batch axes,
+so thousands of bootstraps run as one jitted program — that batch axis (and
+sharding it across chips) is where TPU throughput comes from.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .torus import TorusRing
+
+__all__ = [
+    "TfheParams", "TFHE_BOOT_128", "LweCiphertext", "GlweCiphertext",
+    "BootstrapKey", "TfheEngine",
+]
+
+
+@dataclass(frozen=True)
+class TfheParams:
+    """Torus-2^32 TFHE parameters (classic TFHE-style; the reference's preset
+    shape — n/N/k/base_log/level — parameter_set.cpp:108-137)."""
+
+    n_lwe: int = 630
+    poly_degree: int = 1024
+    glwe_dim: int = 1            # k
+    pbs_base_log: int = 7        # gadget base for the bootstrap
+    pbs_level: int = 3
+    ks_base_log: int = 2         # gadget base for key switching
+    ks_level: int = 8
+    lwe_noise_std: float = 2.0 ** 17    # absolute torus units (sigma * 2^32)
+    glwe_noise_std: float = 2.0 ** 7
+    plaintext_modulus: int = 4
+
+
+def TFHE_BOOT_128() -> TfheParams:
+    return TfheParams()
+
+
+@dataclass
+class LweCiphertext:
+    """(a, b) with phase b - <a, s>  (bootstrap_engine.h:39-60)."""
+    a: Any   # uint32 (..., n)
+    b: Any   # uint32 (...)
+
+
+@dataclass
+class GlweCiphertext:
+    """Stacked (k+1, N): rows 0..k-1 mask, row k body
+    (bootstrap_engine.h:71-97)."""
+    data: Any  # uint32 (..., k+1, N)
+
+
+@dataclass
+class BootstrapKey:
+    """GGSW(s_i) per LWE key bit, NTT-resident per CRT prime, plus the
+    LWE key-switch key (bootstrap_engine.h:105-125, ksk gen
+    bootstrap_engine.cpp:308-429)."""
+    # ggsw_p{1,2}: (lo, hi) planes, shape (n, k+1, level, k+1, N)
+    ggsw_p1: Any
+    ggsw_p2: Any
+    ksk_a: Any        # uint32 (kN, ks_level, n)
+    ksk_b: Any        # uint32 (kN, ks_level)
+    params: TfheParams
+
+
+for _cls, _fields in ((LweCiphertext, ("a", "b")),
+                      (GlweCiphertext, ("data",)),
+                      (BootstrapKey, ("ggsw_p1", "ggsw_p2", "ksk_a", "ksk_b"))):
+    jax.tree_util.register_pytree_node(
+        _cls,
+        (lambda fields: lambda x: (
+            tuple(getattr(x, f) for f in fields),
+            {k: v for k, v in x.__dict__.items() if k not in fields}))(_fields),
+        (lambda cls, fields: lambda aux, ch: cls(**dict(zip(fields, ch)), **aux))(
+            _cls, _fields),
+    )
+
+
+class TfheEngine:
+    """Batched torus-2^32 TFHE over a TorusRing."""
+
+    def __init__(self, params: TfheParams):
+        self.p = params
+        self.ring = TorusRing(params.poly_degree)
+        self.t = params.plaintext_modulus
+        self.delta = (1 << 32) // self.t
+        # jitted entry points
+        self.bootstrap_jit = jax.jit(self.bootstrap_with_test_poly)
+        self.blind_rotate_jit = jax.jit(self.blind_rotate)
+
+    # ------------------------------------------------------------------
+    # Encoding
+    # ------------------------------------------------------------------
+    def encode(self, m):
+        return (jnp.asarray(m, jnp.uint32) * jnp.uint32(self.delta))
+
+    def decode(self, phase):
+        """round(phase * t / 2^32) mod t, exact in u32: top bits + rounding."""
+        shift = 32 - int(math.log2(self.t))
+        r = jnp.uint32(1 << (shift - 1))
+        return ((phase + r) >> shift) % jnp.uint32(self.t)
+
+    # ------------------------------------------------------------------
+    # LWE
+    # ------------------------------------------------------------------
+    def lwe_keygen(self, key):
+        """Binary LWE secret (bootstrap_engine.cpp generate via sample_binary)."""
+        return jax.random.bernoulli(key, 0.5, (self.p.n_lwe,)).astype(jnp.uint32)
+
+    def lwe_encrypt(self, key, m, sk, noise_std: float | None = None):
+        """b = <a, s> + e + encode(m); batch shape taken from m."""
+        m = jnp.asarray(m, jnp.uint32)
+        batch = m.shape
+        k_a, k_e = jax.random.split(key)
+        a = jax.random.bits(k_a, batch + (self.p.n_lwe,), dtype=jnp.uint32)
+        std = self.p.lwe_noise_std if noise_std is None else noise_std
+        e = jnp.round(
+            jax.random.normal(k_e, batch, dtype=jnp.float32) * std
+        ).astype(jnp.int32).astype(jnp.uint32)
+        b = self._dot_u32(a, sk) + e + self.encode(m)
+        return LweCiphertext(a=a, b=b)
+
+    def lwe_phase(self, ct: LweCiphertext, sk):
+        return ct.b - self._dot_u32(ct.a, sk)
+
+    def lwe_decrypt(self, ct: LweCiphertext, sk):
+        return self.decode(self.lwe_phase(ct, sk))
+
+    @staticmethod
+    def _dot_u32(a, s):
+        """<a, s> mod 2^32 (int32 wraparound dot)."""
+        return jnp.sum(a * s.astype(jnp.uint32), axis=-1, dtype=jnp.uint32)
+
+    # LWE linear homomorphisms (native mod 2^32)
+    @staticmethod
+    def lwe_add(x: LweCiphertext, y: LweCiphertext) -> LweCiphertext:
+        return LweCiphertext(a=x.a + y.a, b=x.b + y.b)
+
+    @staticmethod
+    def lwe_sub(x: LweCiphertext, y: LweCiphertext) -> LweCiphertext:
+        return LweCiphertext(a=x.a - y.a, b=x.b - y.b)
+
+    @staticmethod
+    def lwe_negate(x: LweCiphertext) -> LweCiphertext:
+        return LweCiphertext(a=jnp.uint32(0) - x.a, b=jnp.uint32(0) - x.b)
+
+    def lwe_add_plain(self, x: LweCiphertext, m) -> LweCiphertext:
+        return LweCiphertext(a=x.a, b=x.b + self.encode(m))
+
+    # ------------------------------------------------------------------
+    # GLWE
+    # ------------------------------------------------------------------
+    def glwe_keygen(self, key):
+        """Binary GLWE secret: (k, N) coefficients."""
+        return jax.random.bernoulli(
+            key, 0.5, (self.p.glwe_dim, self.p.poly_degree)
+        ).astype(jnp.uint32)
+
+    def glwe_encrypt_zero(self, key, glwe_sk, batch=(), noise_std=None):
+        """(a_1..a_k, b = sum a_i*s_i + e) (bootstrap_engine.cpp:190-227)."""
+        k = self.p.glwe_dim
+        n = self.p.poly_degree
+        k_a, k_e = jax.random.split(key)
+        mask = jax.random.bits(k_a, batch + (k, n), dtype=jnp.uint32)
+        std = self.p.glwe_noise_std if noise_std is None else noise_std
+        e = jnp.round(
+            jax.random.normal(k_e, batch + (n,), jnp.float32) * std
+        ).astype(jnp.int32).astype(jnp.uint32)
+        body = e
+        for i in range(k):
+            body = body + self.ring.multiply(mask[..., i, :], glwe_sk[i])
+        return GlweCiphertext(
+            data=jnp.concatenate([mask, body[..., None, :]], axis=-2))
+
+    def glwe_phase(self, ct: GlweCiphertext, glwe_sk):
+        """body - sum mask_i * s_i."""
+        k = self.p.glwe_dim
+        body = ct.data[..., k, :]
+        acc = body
+        for i in range(k):
+            acc = acc - self.ring.multiply(ct.data[..., i, :], glwe_sk[i])
+        return acc
+
+    # ------------------------------------------------------------------
+    # GGSW / bootstrap key generation
+    # ------------------------------------------------------------------
+    def generate_bootstrap_key(self, key, lwe_sk, glwe_sk) -> BootstrapKey:
+        """GGSW(s_i) per LWE bit + key-switch key, BSK stored in NTT domain.
+
+        GGSW(v) rows (j, l): GLWE(0) + v * g_l * E_j with g_l =
+        2^(32-(l+1)*base_log) and E_j the unit at component j
+        (encrypt_ggsw, bootstrap_engine.cpp:268-306, with the gadget aligned
+        to the decomposition — see module docstring).
+        """
+        p = self.p
+        n, k, lvl, N = p.n_lwe, p.glwe_dim, p.pbs_level, p.poly_degree
+        k_bsk, k_ksk = jax.random.split(key)
+
+        # --- GGSW matrix in torus domain: (n, k+1, lvl, k+1, N)
+        keys = jax.random.split(k_bsk, n * (k + 1) * lvl).reshape(
+            n, k + 1, lvl, 2)
+
+        def make_row(row_key, s_bit, j, l):
+            ct = self.glwe_encrypt_zero(row_key, glwe_sk)
+            g = jnp.uint32(1 << (32 - (l + 1) * p.pbs_base_log))
+            add = s_bit * g
+            return ct.data.at[j, 0].add(add)
+
+        rows = []
+        for j in range(k + 1):
+            for l in range(lvl):
+                r = jax.vmap(lambda rk, s: make_row(rk, s, j, l))(
+                    keys[:, j, l], lwe_sk)
+                rows.append(r)
+        # rows: list of (n, k+1, N) -> (n, k+1, lvl, k+1, N)
+        ggsw = jnp.stack(rows, axis=1).reshape(n, k + 1, lvl, k + 1, N)
+
+        # NTT-resident forms per CRT prime
+        ggsw_p1 = self.ring.ntt1.forward(
+            self.ring._to_planes_centered(ggsw, self.ring.ntt1))
+        ggsw_p2 = self.ring.ntt2.forward(
+            self.ring._to_planes_centered(ggsw, self.ring.ntt2))
+
+        # --- key-switch key: from extracted key (kN) to lwe_sk (n)
+        # s_in[p] = glwe_sk[i, p mod N] flattened; KSK[p, l] = LWE(s_in * gk_l)
+        s_in = glwe_sk.reshape(k * N)
+        gk = [1 << (32 - (l + 1) * p.ks_base_log) for l in range(p.ks_level)]
+        kk = jax.random.split(k_ksk, 2)
+        ksk_a = jax.random.bits(kk[0], (k * N, p.ks_level, n), dtype=jnp.uint32)
+        e = jnp.round(jax.random.normal(
+            kk[1], (k * N, p.ks_level), jnp.float32) * p.lwe_noise_std
+        ).astype(jnp.int32).astype(jnp.uint32)
+        g_vec = jnp.array(gk, dtype=jnp.uint32)
+        ksk_b = (jnp.einsum("pln,n->pl", ksk_a.astype(jnp.int32),
+                            lwe_sk.astype(jnp.int32),
+                            preferred_element_type=jnp.int32).astype(jnp.uint32)
+                 + e + s_in[:, None] * g_vec[None, :])
+        return BootstrapKey(ggsw_p1=ggsw_p1, ggsw_p2=ggsw_p2,
+                            ksk_a=ksk_a, ksk_b=ksk_b, params=p)
+
+    # ------------------------------------------------------------------
+    # External product / CMux
+    # ------------------------------------------------------------------
+    def external_product(self, ggsw_row_p1, ggsw_row_p2, glwe_data):
+        """GGSW (x) GLWE (external_product, bootstrap_engine.cpp:431-518).
+
+        ggsw_row_p*: planes (k+1, lvl, k+1, N) for ONE LWE bit.
+        glwe_data: uint32 (..., k+1, N).
+        Decompose -> NTT once per (component, level) -> contract against the
+        NTT-resident GGSW -> single inverse NTT + CRT per output component.
+        """
+        p = self.p
+        k, lvl = p.glwe_dim, p.pbs_level
+        ring = self.ring
+        # digits: (lvl, ..., k+1, N) signed
+        digits = ring.decompose(glwe_data, p.pbs_base_log, lvl)
+        # NTT of digits per prime: treat (lvl, ..., k+1, N) at once
+        d1 = ring.ntt1.forward(ring._digits_to_planes(digits, ring.ntt1))
+        d2 = ring.ntt2.forward(ring._digits_to_planes(digits, ring.ntt2))
+
+        ctx1, ctx2 = ring.ntt1.ctx, ring.ntt2.ctx
+        out = []
+        for jp in range(k + 1):       # output component
+            acc1 = acc2 = None
+            for j in range(k + 1):    # input component
+                for l in range(lvl):
+                    dj1 = (d1[0][l, ..., j, :], d1[1][l, ..., j, :])
+                    dj2 = (d2[0][l, ..., j, :], d2[1][l, ..., j, :])
+                    g1 = (ggsw_row_p1[0][j, l, jp], ggsw_row_p1[1][j, l, jp])
+                    g2 = (ggsw_row_p2[0][j, l, jp], ggsw_row_p2[1][j, l, jp])
+                    t1 = ctx1.mul(dj1, g1)
+                    t2 = ctx2.mul(dj2, g2)
+                    acc1 = t1 if acc1 is None else ctx1.add(acc1, t1)
+                    acc2 = t2 if acc2 is None else ctx2.add(acc2, t2)
+            out.append(ring.inverse((acc1, acc2)))
+        return jnp.stack(out, axis=-2)
+
+    def cmux(self, ggsw_p1, ggsw_p2, ct0_data, ct1_data):
+        """ct0 + GGSW (x) (ct1 - ct0) (cmux, bootstrap_engine.cpp:520-540)."""
+        diff = ct1_data - ct0_data
+        return ct0_data + self.external_product(ggsw_p1, ggsw_p2, diff)
+
+    # ------------------------------------------------------------------
+    # Blind rotate / sample extract / key switch
+    # ------------------------------------------------------------------
+    def _rotations(self, x):
+        """round(x * 2N / 2^32): top log2(2N) bits with rounding — exact."""
+        bits = self.ring.logn + 1
+        r = jnp.uint32(1 << (32 - bits - 1))
+        return ((x + r) >> (32 - bits)).astype(jnp.int32)
+
+    def blind_rotate(self, acc_data, lwe: LweCiphertext, bsk: BootstrapKey):
+        """acc <- X^{-b~} acc; then CMux ladder over the LWE mask
+        (blind_rotate, bootstrap_engine.cpp:547-577), as a lax.scan over the
+        bootstrap key's leading axis."""
+        ring = self.ring
+        b_rot = -self._rotations(lwe.b)
+        acc = ring.rotate(acc_data, b_rot[..., None])
+
+        a_rots = self._rotations(lwe.a)           # (..., n)
+        a_rots = jnp.moveaxis(a_rots, -1, 0)      # (n, ...)
+
+        def step(acc, inp):
+            g1_lo, g1_hi, g2_lo, g2_hi, rot = inp
+            rotated = ring.rotate(acc, rot[..., None])
+            new = self.cmux((g1_lo, g1_hi), (g2_lo, g2_hi), acc, rotated)
+            return new, None
+
+        xs = (bsk.ggsw_p1[0], bsk.ggsw_p1[1],
+              bsk.ggsw_p2[0], bsk.ggsw_p2[1], a_rots)
+        acc, _ = jax.lax.scan(step, acc, xs)
+        return acc
+
+    def sample_extract(self, acc_data) -> LweCiphertext:
+        """Constant coefficient as LWE of dim k*N (sample_extract,
+        bootstrap_engine.cpp:594-624): a[i*N] = mask_i[0],
+        a[i*N + j] = -mask_i[N-j] for j >= 1; b = body[0]."""
+        p = self.p
+        k, N = p.glwe_dim, p.poly_degree
+        mask = acc_data[..., :k, :]
+        idx = (-jnp.arange(N)) % N          # [0, N-1, N-2, ..., 1]
+        vals = jnp.take(mask, idx, axis=-1)
+        sign = jnp.where(jnp.arange(N) == 0, jnp.uint32(1),
+                         jnp.uint32(0xFFFFFFFF))  # -1 mod 2^32
+        a = (vals * sign).reshape(acc_data.shape[:-2] + (k * N,))
+        b = acc_data[..., k, 0]
+        return LweCiphertext(a=a, b=b)
+
+    def key_switch(self, lwe: LweCiphertext, bsk: BootstrapKey) -> LweCiphertext:
+        """kN-dim -> n-dim via gadget decomposition against the KSK
+        (key_switch, bootstrap_engine.cpp:626-669) — a single int32 matmul
+        mod 2^32 on TPU."""
+        p = self.p
+        digits = self.ring.decompose(lwe.a, p.ks_base_log, p.ks_level)
+        # digits: (lvl, ..., kN) int32;  ksk_a: (kN, lvl, n)
+        d = jnp.moveaxis(digits, 0, -1)                    # (..., kN, lvl)
+        flat = d.reshape(d.shape[:-2] + (-1,))             # (..., kN*lvl)
+        ka = jnp.moveaxis(bsk.ksk_a, 2, 0).reshape(
+            bsk.ksk_a.shape[2], -1)                        # (n, kN*lvl)
+        a_out = -jnp.einsum("...d,nd->...n", flat, ka.astype(jnp.int32),
+                            preferred_element_type=jnp.int32).astype(jnp.uint32)
+        kb = bsk.ksk_b.reshape(-1).astype(jnp.int32)       # (kN*lvl,)
+        b_out = lwe.b - jnp.einsum("...d,d->...", flat, kb,
+                                   preferred_element_type=jnp.int32
+                                   ).astype(jnp.uint32)
+        return LweCiphertext(a=a_out, b=b_out)
+
+    # ------------------------------------------------------------------
+    # Bootstrapping
+    # ------------------------------------------------------------------
+    def default_test_poly(self):
+        """Identity LUT (init_default_test_poly, bootstrap_engine.cpp:57-76,
+        corrected to the half-window encoding: coefficient i holds
+        f(round(i * t / 2N)) * Delta so the rotated constant term decodes to
+        the phase's plaintext)."""
+        return self.make_lut(lambda x: x)
+
+    def make_lut(self, func: Callable[[int], int], out_modulus: int | None = None):
+        """Test polynomial for f (create_lookup_table,
+        bootstrap_engine.cpp:717-757). Requires negacyclic redundancy: the
+        encoding covers inputs in [0, t/2) directly; inputs in [t/2, t) land
+        on the negated half (f must satisfy f(x + t/2) = -f(x) for general
+        use; for t=4-style carry-less use keep messages < t/2 or use the
+        padding-bit convention)."""
+        N = self.p.poly_degree
+        t = self.t
+        t_out = out_modulus or t
+        delta_out = (1 << 32) // t_out
+        i = np.arange(N)
+        inputs = ((i * t + N) // (2 * N)) % t
+        outs = np.array([int(func(int(v))) % t_out for v in inputs],
+                        dtype=np.uint64)
+        return jnp.asarray((outs * delta_out) % (1 << 32), dtype=jnp.uint32)
+
+    def bootstrap_with_test_poly(self, lwe: LweCiphertext, bsk: BootstrapKey,
+                                 test_poly):
+        """testpoly accumulator -> blind rotate -> extract -> key switch
+        (bootstrap_with_test_poly, bootstrap_engine.cpp:684-711)."""
+        p = self.p
+        batch = lwe.b.shape
+        k, N = p.glwe_dim, p.poly_degree
+        acc = jnp.zeros(batch + (k + 1, N), jnp.uint32)
+        acc = acc.at[..., k, :].set(jnp.broadcast_to(test_poly, batch + (N,)))
+        acc = self.blind_rotate(acc, lwe, bsk)
+        extracted = self.sample_extract(acc)
+        return self.key_switch(extracted, bsk)
+
+    def bootstrap(self, lwe: LweCiphertext, bsk: BootstrapKey):
+        return self.bootstrap_with_test_poly(lwe, bsk, self.default_test_poly())
+
+    def programmable_bootstrap(self, lwe: LweCiphertext, bsk: BootstrapKey,
+                               lut):
+        """PBS (programmable_bootstrap, bootstrap_engine.cpp:717-722)."""
+        return self.bootstrap_with_test_poly(lwe, bsk, lut)

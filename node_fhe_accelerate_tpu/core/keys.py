@@ -1,0 +1,136 @@
+"""Key generation: secret/public/relinearization keys + threshold sharing.
+
+TPU-native twin of the reference's `KeyManager`
+(cpp/include/key_manager.h:219-342, cpp/src/key_manager.cpp:151-330):
+
+* secret key: ternary polynomial (TERNARY default; GAUSSIAN/BINARY/UNIFORM
+  distributions supported, key_manager.cpp:151-191)
+* public key: RLWE(0) = (a, b = a*s + e)  (key_manager.cpp:232-260)
+* relinearization key: per-level encryptions of s^2 * base^i
+  (key_manager.cpp:266-330)
+* threshold keys: Shamir sharing over Z_q + Lagrange recombination
+  (key_manager.h:304-342) — see threshold.py
+
+Keys are pytrees of limb planes, so an entire keygen is one jitted program.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .poly import PolyRing
+from .params import ParameterSet
+from ..ops.u64 import u64_from_int
+
+__all__ = ["SecretKey", "PublicKey", "RelinKey", "KeyManager",
+           "SecretKeyDistribution"]
+
+
+class SecretKeyDistribution(Enum):
+    TERNARY = "ternary"
+    GAUSSIAN = "gaussian"
+    BINARY = "binary"
+    UNIFORM = "uniform"
+
+
+@dataclass
+class SecretKey:
+    poly: Any          # limb planes (..., N)
+    key_id: int = 0
+
+
+@dataclass
+class PublicKey:
+    a: Any
+    b: Any             # b = a*s + e
+    key_id: int = 0
+
+
+@dataclass
+class RelinKey:
+    """keys[i] = (a_i, b_i) with b_i = a_i*s + e_i + s^2 * base^i."""
+    a: list
+    b: list
+    decomp_base_log: int
+    decomp_level: int
+    key_id: int = 0
+
+
+def _register(cls, fields):
+    jax.tree_util.register_pytree_node(
+        cls,
+        lambda x: ([getattr(x, f) for f in fields],
+                   {k: v for k, v in x.__dict__.items() if k not in fields}),
+        lambda aux, ch: cls(**dict(zip(fields, ch)), **aux),
+    )
+
+
+_register(SecretKey, ["poly"])
+_register(PublicKey, ["a", "b"])
+_register(RelinKey, ["a", "b"])
+
+
+class KeyManager:
+    """Generates key material for a parameter set (key_manager.cpp)."""
+
+    def __init__(self, params: ParameterSet, ring: PolyRing | None = None):
+        self.params = params
+        self.ring = ring or PolyRing(params.poly_degree, params.moduli[0])
+
+    def generate_secret_key(
+        self, key, distribution=SecretKeyDistribution.TERNARY, key_id: int = 0
+    ) -> SecretKey:
+        ring = self.ring
+        if distribution == SecretKeyDistribution.TERNARY:
+            p = ring.sample_ternary(key)
+        elif distribution == SecretKeyDistribution.GAUSSIAN:
+            p = ring.sample_gaussian(key, self.params.lwe_noise_std)
+        elif distribution == SecretKeyDistribution.BINARY:
+            from ..ops.sampling import binary_planes
+            p = binary_planes(key, (ring.n,))
+        else:
+            p = ring.sample_uniform(key)
+        return SecretKey(poly=p, key_id=key_id)
+
+    def generate_public_key(self, key, sk: SecretKey) -> PublicKey:
+        """pk = (a, b = a*s + e) — an RLWE encryption of zero."""
+        ring = self.ring
+        k_a, k_e = jax.random.split(key)
+        a = ring.sample_uniform(k_a)
+        e = ring.sample_gaussian(k_e, self._noise_std())
+        b = ring.add(ring.multiply(a, sk.poly), e)
+        return PublicKey(a=a, b=b, key_id=sk.key_id)
+
+    def generate_relin_key(
+        self, key, sk: SecretKey,
+        decomp_base_log: int = 0, decomp_level: int = 0,
+    ) -> RelinKey:
+        """Encrypt s^2 * base^i per level (key_manager.cpp:266-330)."""
+        params = self.params
+        ring = self.ring
+        base_log = decomp_base_log or params.decomp_base_log
+        levels = decomp_level or params.decomp_level
+        base = 1 << base_log
+
+        s2 = ring.multiply(sk.poly, sk.poly)
+        a_list, b_list = [], []
+        power = 1
+        for i in range(levels):
+            k_a, k_e, key = jax.random.split(key, 3)
+            a = ring.sample_uniform(k_a)
+            e = ring.sample_gaussian(k_e, self._noise_std())
+            b = ring.add(ring.multiply(a, sk.poly), e)
+            b = ring.add(b, ring.scalar_mul(s2, power))
+            a_list.append(a)
+            b_list.append(b)
+            power = (power * base) % ring.q
+        return RelinKey(a=a_list, b=b_list, decomp_base_log=base_log,
+                        decomp_level=levels, key_id=sk.key_id)
+
+    def _noise_std(self) -> float:
+        s = self.params.lwe_noise_std
+        return s if s > 0 else 3.2

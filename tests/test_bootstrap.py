@@ -1,0 +1,190 @@
+"""TFHE torus-2^32 engine: ring exactness, LWE/GLWE round trips, external
+product, CMux, and full (programmable) bootstrapping.
+
+Mirrors the reference's Property 8 (bootstrapping.prop.test.ts) with a
+correct gadget (see core/bootstrap.py docstring).  Noise-free keys make every
+check exact except where noise is explicitly injected.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from node_fhe_accelerate_tpu.core.torus import TorusRing
+from node_fhe_accelerate_tpu.core.bootstrap import (
+    TfheParams, TfheEngine, LweCiphertext, GlweCiphertext,
+)
+
+
+def tiny_params(**kw):
+    d = dict(n_lwe=8, poly_degree=64, glwe_dim=1,
+             pbs_base_log=7, pbs_level=3, ks_base_log=4, ks_level=8,
+             lwe_noise_std=0.0, glwe_noise_std=0.0, plaintext_modulus=4)
+    d.update(kw)
+    return TfheParams(**d)
+
+
+# ---------------------------------------------------------------------------
+# TorusRing
+# ---------------------------------------------------------------------------
+
+
+def torus_negacyclic_np(a, b):
+    """Oracle: negacyclic product mod 2^32 with centered interpretation."""
+    n = len(a)
+    sa = [int(x) - (1 << 32) if int(x) >= (1 << 31) else int(x) for x in a]
+    sb = [int(x) - (1 << 32) if int(x) >= (1 << 31) else int(x) for x in b]
+    out = [0] * n
+    for i in range(n):
+        for j in range(n):
+            k = i + j
+            if k < n:
+                out[k] += sa[i] * sb[j]
+            else:
+                out[k - n] -= sa[i] * sb[j]
+    return np.array([x % (1 << 32) for x in out], dtype=np.uint32)
+
+
+def test_torus_multiply_exact():
+    ring = TorusRing(64)
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 1 << 32, 64, dtype=np.uint32)
+    b = rng.integers(0, 1 << 32, 64, dtype=np.uint32)
+    got = np.asarray(jax.jit(ring.multiply)(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_array_equal(got, torus_negacyclic_np(a, b))
+
+
+def test_torus_rotate():
+    ring = TorusRing(8)
+    a = jnp.arange(1, 9, dtype=jnp.uint32)
+    # X^1 * a: out[0] = -a[7], out[j] = a[j-1]
+    out = np.asarray(ring.rotate(a, jnp.int32(1)))
+    want = np.array([(-8) % (1 << 32), 1, 2, 3, 4, 5, 6, 7], dtype=np.uint32)
+    np.testing.assert_array_equal(out, want)
+    # rotate by 2N is identity; by N is negation
+    np.testing.assert_array_equal(np.asarray(ring.rotate(a, jnp.int32(16))),
+                                  np.asarray(a))
+    np.testing.assert_array_equal(
+        np.asarray(ring.rotate(a, jnp.int32(8))),
+        (-np.arange(1, 9, dtype=np.uint64) % (1 << 32)).astype(np.uint32))
+
+
+def test_decompose_reconstructs():
+    ring = TorusRing(8)
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, 1 << 32, 128, dtype=np.uint32).reshape(16, 8)
+    B, L = 7, 3
+    d = ring.decompose(jnp.asarray(x), B, L)
+    d = np.asarray(d).astype(np.int64)
+    recon = sum(d[l] * (1 << (32 - (l + 1) * B)) for l in range(L))
+    err = (x.astype(np.int64) - recon) % (1 << 32)
+    err = np.where(err >= (1 << 31), err - (1 << 32), err)
+    assert np.abs(err).max() <= (1 << (32 - L * B - 1))
+    assert np.abs(d).max() <= (1 << (B - 1))
+
+
+# ---------------------------------------------------------------------------
+# LWE / GLWE
+# ---------------------------------------------------------------------------
+
+
+def test_lwe_round_trip_and_linear_ops():
+    p = tiny_params()
+    eng = TfheEngine(p)
+    key = jax.random.PRNGKey(0)
+    sk = eng.lwe_keygen(jax.random.fold_in(key, 0))
+    msgs = jnp.array([0, 1, 2, 3], jnp.uint32)
+    ct = eng.lwe_encrypt(jax.random.fold_in(key, 1), msgs, sk)
+    np.testing.assert_array_equal(np.asarray(eng.lwe_decrypt(ct, sk)),
+                                  np.asarray(msgs))
+    ct2 = eng.lwe_encrypt(jax.random.fold_in(key, 2),
+                          jnp.array([1, 1, 1, 1], jnp.uint32), sk)
+    np.testing.assert_array_equal(
+        np.asarray(eng.lwe_decrypt(eng.lwe_add(ct, ct2), sk)),
+        np.asarray((msgs + 1) % 4))
+    np.testing.assert_array_equal(
+        np.asarray(eng.lwe_decrypt(eng.lwe_sub(ct, ct2), sk)),
+        np.asarray((msgs - 1) % 4))
+
+
+def test_glwe_zero_phase():
+    p = tiny_params()
+    eng = TfheEngine(p)
+    key = jax.random.PRNGKey(3)
+    gsk = eng.glwe_keygen(jax.random.fold_in(key, 0))
+    ct = eng.glwe_encrypt_zero(jax.random.fold_in(key, 1), gsk)
+    ph = np.asarray(eng.glwe_phase(ct, gsk))
+    np.testing.assert_array_equal(ph, np.zeros(p.poly_degree, np.uint32))
+
+
+# ---------------------------------------------------------------------------
+# External product / CMux / bootstrap
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def boot_setup():
+    p = tiny_params()
+    eng = TfheEngine(p)
+    key = jax.random.PRNGKey(7)
+    lwe_sk = eng.lwe_keygen(jax.random.fold_in(key, 0))
+    glwe_sk = eng.glwe_keygen(jax.random.fold_in(key, 1))
+    bsk = eng.generate_bootstrap_key(jax.random.fold_in(key, 2),
+                                     lwe_sk, glwe_sk)
+    return p, eng, lwe_sk, glwe_sk, bsk
+
+
+def test_cmux_selects(boot_setup):
+    p, eng, lwe_sk, glwe_sk, bsk = boot_setup
+    ring = eng.ring
+    N = p.poly_degree
+    # Plaintext GLWEs (trivial encryptions): mask 0, body = message
+    m0 = jnp.zeros((2, N), jnp.uint32).at[..., 0].set(jnp.uint32(111 << 20))
+    m1 = jnp.zeros((2, N), jnp.uint32).at[..., 0].set(jnp.uint32(222 << 20))
+    c0 = jnp.zeros((p.glwe_dim + 1, N), jnp.uint32).at[p.glwe_dim].set(m0[0])
+    c1 = jnp.zeros((p.glwe_dim + 1, N), jnp.uint32).at[p.glwe_dim].set(m1[0])
+    sk_np = np.asarray(lwe_sk)
+    for i in [0, 1, 2]:
+        g1 = (bsk.ggsw_p1[0][i], bsk.ggsw_p1[1][i])
+        g2 = (bsk.ggsw_p2[0][i], bsk.ggsw_p2[1][i])
+        out = eng.cmux(g1, g2, c0, c1)
+        ph = eng.glwe_phase(GlweCiphertext(data=out), glwe_sk)
+        got = np.asarray(ph)[0]
+        want = (222 << 20) if sk_np[i] else (111 << 20)
+        # Exact up to decomposition rounding (< 2^(32 - l*B - 1) = 2^10)
+        err = (int(got) - want) % (1 << 32)
+        err = err - (1 << 32) if err >= (1 << 31) else err
+        assert abs(err) < (1 << 12), (i, got, want)
+
+
+def test_bootstrap_identity(boot_setup):
+    p, eng, lwe_sk, glwe_sk, bsk = boot_setup
+    key = jax.random.PRNGKey(11)
+    # Messages below t/2 (negacyclic window); identity LUT
+    msgs = jnp.array([0, 1], jnp.uint32)
+    ct = eng.lwe_encrypt(key, msgs, lwe_sk)
+    out = eng.bootstrap_jit(ct, bsk, eng.default_test_poly())
+    dec = np.asarray(eng.lwe_decrypt(out, lwe_sk))
+    np.testing.assert_array_equal(dec, np.asarray(msgs))
+
+
+def test_programmable_bootstrap_negation_lut(boot_setup):
+    p, eng, lwe_sk, glwe_sk, bsk = boot_setup
+    t = p.plaintext_modulus
+    lut = eng.make_lut(lambda x: (t - x) % t)
+    ct = eng.lwe_encrypt(jax.random.PRNGKey(13), jnp.array([1], jnp.uint32),
+                         lwe_sk)
+    out = eng.programmable_bootstrap(ct, bsk, lut)
+    dec = np.asarray(eng.lwe_decrypt(out, lwe_sk))
+    np.testing.assert_array_equal(dec, np.array([3], np.uint32))
+
+
+def test_bootstrap_with_noise(boot_setup):
+    """Moderate input noise must be cleaned by the bootstrap."""
+    p, eng, lwe_sk, glwe_sk, bsk = boot_setup
+    msgs = jnp.array([0, 1, 0, 1], jnp.uint32)
+    ct = eng.lwe_encrypt(jax.random.PRNGKey(17), msgs, lwe_sk,
+                         noise_std=float(2 ** 20))
+    out = eng.bootstrap_jit(ct, bsk, eng.default_test_poly())
+    dec = np.asarray(eng.lwe_decrypt(out, lwe_sk))
+    np.testing.assert_array_equal(dec, np.asarray(msgs))
