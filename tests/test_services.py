@@ -1,0 +1,226 @@
+"""Threshold decryption, security validator, serializer, audit trail, fraud
+detection — the reference's L5/aux components (SURVEY.md §2.1 #6,7,10,12)."""
+import numpy as np
+import pytest
+import jax
+
+from node_fhe_accelerate_tpu.core.params import (
+    ParameterSet, FHEScheme, TFHE_128_FAST, BFV_128_SIMD,
+)
+from node_fhe_accelerate_tpu.core.poly import PolyRing
+from node_fhe_accelerate_tpu.core.keys import KeyManager, SecretKey
+from node_fhe_accelerate_tpu.core.encrypt import EncryptionEngine
+from node_fhe_accelerate_tpu.core import threshold as th
+from node_fhe_accelerate_tpu.core.security import (
+    SecurityValidator, SecurityViolation, estimate_tfhe_security_bits,
+)
+from node_fhe_accelerate_tpu.core.serializer import (
+    Magic, serialize_polynomial, deserialize_polynomial, SerializationError,
+    CompressionType,
+)
+from node_fhe_accelerate_tpu.api.audit import (
+    AuditTrailManager, AuditOperation, AuditActor,
+)
+from node_fhe_accelerate_tpu.api.fraud import FraudDetector, FraudAlertType, \
+    StatisticalModel, TimestampedBallot
+
+
+def small_params(t=16):
+    return ParameterSet(
+        scheme=FHEScheme.TFHE, poly_degree=256, moduli=[7681],
+        lwe_dimension=64, lwe_noise_std=3.2e-11, glwe_dimension=1,
+        decomp_base_log=7, decomp_level=2, plaintext_modulus=t,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Threshold decryption
+# ---------------------------------------------------------------------------
+
+
+class TestThreshold:
+    def test_shares_reconstruct_secret(self):
+        ring = PolyRing(256, 7681)
+        tk = th.generate_threshold_keys(jax.random.PRNGKey(0), ring, 3, 5)
+        # Lagrange-combine any 3 shares directly: sum lambda_i * share_i = sk
+        use = tk.shares[1:4]
+        idx = [s.share_id for s in use]
+        acc = None
+        for s in use:
+            lam = th.lagrange_coefficient(s.share_id, idx, ring.q)
+            term = ring.scalar_mul(s.share_poly, lam)
+            acc = term if acc is None else ring.add(acc, term)
+        np.testing.assert_array_equal(ring.to_np(acc),
+                                      ring.to_np(tk.master_sk.poly))
+
+    def test_threshold_decrypt_end_to_end(self):
+        params = small_params()
+        eng = EncryptionEngine(params)
+        ring = eng.ring
+        tk = th.generate_threshold_keys(jax.random.PRNGKey(1), ring, 3, 5)
+        km = KeyManager(params, ring)
+        pk = km.generate_public_key(jax.random.PRNGKey(2), tk.master_sk)
+        ct = eng.encrypt(jax.random.PRNGKey(3), 9, pk)
+        partials = [th.partial_decrypt(ring, ct.c1, s)
+                    for s in [tk.shares[0], tk.shares[2], tk.shares[4]]]
+        phase = th.combine_partial_decryptions(ring, ct.c0, partials, 3)
+        assert eng.decode(phase)[0] == 9
+
+    def test_insufficient_shares_rejected(self):
+        ring = PolyRing(256, 7681)
+        tk = th.generate_threshold_keys(jax.random.PRNGKey(4), ring, 3, 5)
+        partials = [th.partial_decrypt(ring, ring.zeros(), s)
+                    for s in tk.shares[:2]]
+        with pytest.raises(ValueError, match="not enough"):
+            th.combine_partial_decryptions(ring, ring.zeros(), partials, 3)
+
+
+# ---------------------------------------------------------------------------
+# Security validator
+# ---------------------------------------------------------------------------
+
+
+class TestSecurity:
+    def test_presets_validate(self):
+        v = SecurityValidator()
+        res = v.validate(TFHE_128_FAST())
+        assert res.is_secure, res.violations
+
+    def test_bfv_preset(self):
+        res = SecurityValidator().validate(BFV_128_SIMD())
+        # 3x60-bit chain at N=8192: log q = 180 < 218 -> secure
+        assert res.is_secure, res.violations
+
+    def test_composite_modulus_flagged(self):
+        p = TFHE_128_FAST()
+        p.moduli = [1099511627777]  # the reference's composite Q_40_1
+        res = SecurityValidator().validate(p)
+        codes = [c for c, _ in res.violations]
+        assert SecurityViolation.MODULUS_COMPOSITE in codes
+
+    def test_small_degree_flagged(self):
+        p = small_params()
+        res = SecurityValidator().validate(p)
+        codes = [c for c, _ in res.violations]
+        assert SecurityViolation.POLY_DEGREE_TOO_SMALL in codes
+        assert SecurityViolation.LWE_DIMENSION_TOO_SMALL in codes
+
+    def test_tfhe_estimator_anchors(self):
+        assert estimate_tfhe_security_bits(630, 1024, 40) == 128
+        assert estimate_tfhe_security_bits(1024, 4096, 60) == 256
+
+
+# ---------------------------------------------------------------------------
+# Serializer
+# ---------------------------------------------------------------------------
+
+
+class TestSerializer:
+    def test_round_trip(self):
+        rng = np.random.default_rng(0)
+        coeffs = rng.integers(0, 7681, 256, dtype=np.uint64)
+        raw = serialize_polynomial(coeffs, Magic.SECRET_KEY, key_id=7,
+                                   modulus=7681)
+        hdr, back = deserialize_polynomial(raw, Magic.SECRET_KEY)
+        np.testing.assert_array_equal(back, coeffs)
+        assert hdr.key_id == 7 and hdr.modulus == 7681
+        assert hdr.poly_degree == 256
+
+    def test_zlib_round_trip(self):
+        coeffs = np.zeros(4096, dtype=np.uint64)  # compresses well
+        raw = serialize_polynomial(coeffs, Magic.BALLOT,
+                                   compression=CompressionType.ZLIB)
+        assert len(raw) < 10 * 1024  # <10KB ballot target
+        _, back = deserialize_polynomial(raw, Magic.BALLOT)
+        np.testing.assert_array_equal(back, coeffs)
+
+    def test_wrong_magic_rejected(self):
+        raw = serialize_polynomial(np.arange(8, dtype=np.uint64),
+                                   Magic.SECRET_KEY)
+        with pytest.raises(SerializationError, match="magic"):
+            deserialize_polynomial(raw, Magic.PUBLIC_KEY)
+
+    def test_corruption_detected(self):
+        raw = bytearray(serialize_polynomial(np.arange(8, dtype=np.uint64),
+                                             Magic.BALLOT))
+        raw[-3] ^= 0xFF
+        with pytest.raises(SerializationError, match="checksum"):
+            deserialize_polynomial(bytes(raw), Magic.BALLOT)
+
+
+# ---------------------------------------------------------------------------
+# Audit trail
+# ---------------------------------------------------------------------------
+
+
+class TestAudit:
+    def test_chain_and_integrity(self):
+        m = AuditTrailManager()
+        m.log(AuditOperation.SYSTEM_INITIALIZED, AuditActor.SYSTEM, "sys")
+        m.log_ballot_submitted("voter-1", {"election": "e1"})
+        m.log(AuditOperation.TALLY_UPDATED, AuditActor.SYSTEM, "tally")
+        ok, bad = m.verify_integrity()
+        assert ok and not bad
+        assert m.entries[1].prev_hash == m.entries[0].hash
+
+    def test_tamper_detected(self):
+        m = AuditTrailManager()
+        m.log(AuditOperation.ELECTION_CREATED, AuditActor.OFFICIAL, "o1")
+        m.log_ballot_submitted("voter-1")
+        m._entries[0].details["injected"] = True
+        ok, bad = m.verify_integrity()
+        assert not ok and 0 in bad
+
+    def test_json_export_import(self):
+        m = AuditTrailManager()
+        m.log_ballot_submitted("v1")
+        m2 = AuditTrailManager.import_json(m.export_json())
+        assert m2.verify_integrity()[0]
+        assert "voter" in m.export_csv()
+
+
+# ---------------------------------------------------------------------------
+# Fraud detection
+# ---------------------------------------------------------------------------
+
+
+class TestFraud:
+    def test_duplicate_ciphertext_flagged(self):
+        params = small_params()
+        eng = EncryptionEngine(params)
+        km = KeyManager(params, eng.ring)
+        sk = km.generate_secret_key(jax.random.PRNGKey(0))
+        pk = km.generate_public_key(jax.random.PRNGKey(1), sk)
+        c1 = eng.encrypt(jax.random.PRNGKey(2), 1, pk)
+        c2 = eng.encrypt(jax.random.PRNGKey(3), 1, pk)  # same vote, fresh rand
+        det = FraudDetector(eng)
+        res = det.detect_duplicates([c1, c2, c1])  # c1 replayed
+        assert any(a.type == FraudAlertType.DUPLICATE_VOTE
+                   for a in res.alerts)
+        # fresh encryptions of the same value are NOT flagged
+        res2 = det.detect_duplicates([c1, c2])
+        assert not res2.alerts
+
+    def test_statistical_anomaly(self):
+        eng = EncryptionEngine(small_params())
+        det = FraudDetector(eng)
+        det.set_statistical_model(StatisticalModel(10.0, 2.0))
+        res = det.detect_statistical_anomalies([10, 11, 9, 300, 10])
+        assert any(a.type == FraudAlertType.STATISTICAL_ANOMALY
+                   for a in res.alerts)
+
+    def test_timing_anomaly(self):
+        eng = EncryptionEngine(small_params())
+        det = FraudDetector(eng)
+        ballots = [TimestampedBallot(None, 0.0, "v1"),
+                   TimestampedBallot(None, 0.01, "v1"),
+                   TimestampedBallot(None, 5.0, "v2")]
+        res = det.detect_timing_anomalies(ballots)
+        assert any(a.type == FraudAlertType.TIMING_ANOMALY
+                   for a in res.alerts)
+
+    def test_threshold_exceeded(self):
+        eng = EncryptionEngine(small_params())
+        det = FraudDetector(eng)
+        assert det.check_threshold(101, 100).alerts
+        assert not det.check_threshold(99, 100).alerts
