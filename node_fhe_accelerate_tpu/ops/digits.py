@@ -1,0 +1,197 @@
+"""Big-integer arithmetic in 8-bit digit planes with MXU matmul products.
+
+The scalar-lane CIOS path (ops/limbs.py) is bit-exact but compiles to
+~1.6k HLO ops per 256-bit multiply — minutes of XLA compile time once curve
+formulas inline dozens of them.  This module is the TPU-native alternative
+used by the ZK fields:
+
+* an integer is (..., D) int32 digits, base 256, little-endian, strictly
+  canonical (each digit in [0, 255]);
+* multiplication is an outer product + ONE constant matmul: with 8-bit
+  digits, every convolution column sum is < D * 255^2 < 2^22, exact in
+  float32 — so the digit convolution runs on the MXU as an f32 matmul
+  against a constant (D^2, 2D) band matrix;
+* carries resolve in log depth: a few magnitude-reduction rounds followed by
+  a Kogge-Stone style carry-lookahead via `lax.associative_scan` — no
+  O(D) ripple chains, no O(D^2) unrolled carry graphs.
+
+Digit count D is chosen per field with headroom (e.g. D=36 for 256-bit
+moduli) so Montgomery R = 2^(8D) >> N.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+I32 = jnp.int32
+
+__all__ = [
+    "digits_from_int", "digits_from_ints", "digits_to_ints",
+    "conv_full_matrix", "conv_full", "exact_norm", "add_digits",
+    "sub_digits", "geq_digits", "is_zero_digits", "eq_digits", "select",
+]
+
+
+# ---------------------------------------------------------------------------
+# Host conversions
+# ---------------------------------------------------------------------------
+
+
+def digits_from_int(value: int, d: int):
+    out = np.empty((d,), dtype=np.int32)
+    for i in range(d):
+        out[i] = (value >> (8 * i)) & 0xFF
+    if value >> (8 * d):
+        raise ValueError("value does not fit in digit count")
+    return jnp.asarray(out)
+
+
+def digits_from_ints(values, d: int):
+    values = np.asarray(values, dtype=object)
+    out = np.empty(values.shape + (d,), dtype=np.int32)
+    it = np.nditer(values, flags=["multi_index", "refs_ok"])
+    for v in it:
+        x = int(v.item())
+        for i in range(d):
+            out[it.multi_index + (i,)] = (x >> (8 * i)) & 0xFF
+    return jnp.asarray(out)
+
+
+def digits_to_ints(arr) -> np.ndarray:
+    a = np.asarray(arr, dtype=np.int64)
+    out = np.zeros(a.shape[:-1], dtype=object)
+    for i in range(a.shape[-1]):
+        out += a[..., i].astype(object) << (8 * i)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Convolution products (MXU)
+# ---------------------------------------------------------------------------
+
+_conv_cache: dict = {}
+
+
+def conv_full_matrix(d: int, out_len: int):
+    """Constant (d*d, out_len) f32 matrix: maps vec(outer(a,b)) to columns."""
+    key = (d, out_len)
+    if key not in _conv_cache:
+        m = np.zeros((d * d, out_len), dtype=np.float32)
+        for i in range(d):
+            for j in range(d):
+                k = i + j
+                if k < out_len:
+                    m[i * d + j, k] = 1.0
+        # cache as numpy: a jnp constant created inside one jit trace must
+        # not leak into another
+        _conv_cache[key] = m
+    return _conv_cache[key]
+
+
+def conv_full(a, b, out_len: int | None = None):
+    """Digit convolution columns of a*b: (..., out_len) int32, cols < 2^22.
+
+    a, b: strict digit arrays (..., D).  One f32 outer product + one matmul
+    against the constant band matrix — exact because every column sum is
+    far below 2^24.
+    """
+    d = a.shape[-1]
+    if out_len is None:
+        out_len = 2 * d
+    m = conv_full_matrix(d, out_len)
+    outer = (a.astype(jnp.float32)[..., :, None]
+             * b.astype(jnp.float32)[..., None, :])
+    flat = outer.reshape(outer.shape[:-2] + (d * d,))
+    cols = jnp.matmul(flat, m, preferred_element_type=jnp.float32)
+    return cols.astype(I32)
+
+
+# ---------------------------------------------------------------------------
+# Carry resolution
+# ---------------------------------------------------------------------------
+
+
+def _carry_op(left, right):
+    gl, pl = left
+    gr, pr = right
+    return (gr | (pr & gl), pr & pl)
+
+
+def _ks_add(lo, carry_in_bits):
+    """Exact sum of lo (digits <= 255) + carry bits (<= 1 per digit), via
+    carry-lookahead associative scan. Returns (strict digits, carry_out)."""
+    s = lo + carry_in_bits                    # <= 256
+    gen = s > 255
+    prop = s == 255
+    g, p = jax.lax.associative_scan(_carry_op, (gen, prop), axis=-1)
+    # carry into digit i (i>=1) = prefix G_{i-1}
+    c = jnp.concatenate(
+        [jnp.zeros_like(g[..., :1]), g[..., :-1]], axis=-1).astype(I32)
+    out = (s + c) & 255
+    carry_out = g[..., -1]
+    return out, carry_out
+
+
+def exact_norm(cols, rounds: int = 3):
+    """Normalize nonnegative int32 columns (< 2^22) to strict digits.
+
+    `rounds` magnitude-reduction rounds bring every column to <= 256, then
+    one Kogge-Stone pass resolves the remaining single-bit carries exactly.
+    Returns (digits, carry_out_bool). Carries beyond the array are ignored
+    by the caller when the value bound guarantees they are zero.
+    """
+    x = cols
+    dropped = jnp.zeros_like(cols[..., 0])
+    for _ in range(rounds):
+        lo = x & 255
+        hi = x >> 8
+        dropped = dropped + hi[..., -1]
+        x = lo + jnp.concatenate(
+            [jnp.zeros_like(hi[..., :1]), hi[..., :-1]], axis=-1)
+    lo = x & 255
+    cb = (x >> 8)
+    dropped = dropped + cb[..., -1]
+    cb = jnp.concatenate(
+        [jnp.zeros_like(cb[..., :1]), cb[..., :-1]], axis=-1)
+    out, ks_carry = _ks_add(lo, cb)
+    return out, dropped + ks_carry.astype(I32)
+
+
+def add_digits(a, b, plus_one: bool = False):
+    """Exact a + b (+1) on strict digit arrays: (digits, carry_out)."""
+    s = a + b
+    if plus_one:
+        s = s.at[..., 0].add(1)
+    return exact_norm(s, rounds=1)
+
+
+def comp255(a):
+    return 255 - a
+
+
+def sub_digits(a, b):
+    """Exact a - b on strict arrays: returns (digits, a_geq_b bool).
+
+    a - b = a + comp(b) + 1 - 2^(8D); the top carry is exactly [a >= b],
+    and when it is 0 the digits hold a - b + 2^(8D).
+    """
+    d, c = add_digits(a, comp255(b), plus_one=True)
+    return d, c != 0
+
+
+def geq_digits(a, b):
+    _, ge = sub_digits(a, b)
+    return ge
+
+
+def is_zero_digits(a):
+    return jnp.all(a == 0, axis=-1)
+
+
+def eq_digits(a, b):
+    return jnp.all(a == b, axis=-1)
+
+
+def select(pred, a, b):
+    return jnp.where(pred[..., None], a, b)

@@ -1,10 +1,15 @@
 """ZK proof-system fields: BN254 and BLS12-381 base/scalar fields.
 
 Twin of the reference's `Field256`/`Field384`
-(cpp/include/zk_field_arithmetic.h:229-300, cpp/src/zk_field_arithmetic.cpp):
-Montgomery-form arithmetic on 8/12 uint32 limb lanes (ops/limbs.py), fully
-batched — a "field element" array carries arbitrary leading axes, so curve
-and MSM code vectorizes across thousands of points per TPU program.
+(cpp/include/zk_field_arithmetic.h:229-300, cpp/src/zk_field_arithmetic.cpp),
+built on the MXU digit engine (ops/digits.py): elements are strict 8-bit
+digit arrays in Montgomery form, multiplication is two constant matmuls +
+log-depth carry resolution, and everything batches over leading axes — the
+design target is thousands of field ops per fused TPU program (MSM, IPA,
+Poseidon all ride this).
+
+All stored elements are canonical ([0, q), strict digits), so equality and
+zero tests are plain digit comparisons.
 """
 from __future__ import annotations
 
@@ -12,13 +17,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import limbs as lb
+from ..ops import digits as dg
 
 __all__ = ["Field", "BN254_FQ", "BN254_FR", "BLS12_381_FQ", "BLS12_381_FR",
            "bn254_fq", "bn254_fr", "bls12_381_fq", "bls12_381_fr"]
 
-# Curve moduli (standard constants; the reference hardcodes the same values
-# in zk_field_arithmetic.cpp)
+# Standard curve moduli (the reference hardcodes the same values in
+# zk_field_arithmetic.cpp)
 BN254_FQ = 21888242871839275222246405745257275088696311157297823662689037894645226208583
 BN254_FR = 21888242871839275222246405745257275088548364400416034343698204186575808495617
 BLS12_381_FQ = 0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAAAB
@@ -26,82 +31,96 @@ BLS12_381_FR = 0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF0000000
 
 
 class Field:
-    """Fixed prime field on uint32 limb lanes, Montgomery domain."""
+    """Fixed odd prime field on 8-bit digit lanes, Montgomery domain."""
 
-    def __init__(self, q: int, n_limbs: int):
+    def __init__(self, q: int, n_digits: int):
+        if q % 2 == 0 or (q >> (8 * n_digits)) or 2 * q >= 1 << (8 * n_digits):
+            raise ValueError("need odd q with 2q < 2^(8*n_digits)")
         self.q = q
-        self.n_limbs = n_limbs
-        c = lb.mont_constants(q, n_limbs)
-        self.q_inv32 = c["q_inv32"]
-        self.r_mod_q = c["r_mod_q"]
-        self.r2_mod_q = c["r2_mod_q"]
-        self.q_limbs = lb.limbs_from_int(q, n_limbs)
-        self.r2_limbs = lb.limbs_from_int(self.r2_mod_q, n_limbs)
-        self.one_mont = lb.limbs_from_int(self.r_mod_q, n_limbs)  # 1 in Mont
-        self.zero = lb.limbs_from_int(0, n_limbs)
+        self.n_limbs = n_digits          # trailing-axis width (digit count)
+        R = 1 << (8 * n_digits)
+        self.r_mod_q = R % q
+        self.r2_mod_q = R * R % q
+        self.q_digits = dg.digits_from_int(q, n_digits)
+        self.np_digits = dg.digits_from_int((-pow(q, -1, R)) % R, n_digits)
+        self.one_mont = dg.digits_from_int(self.r_mod_q, n_digits)
+        self.zero = dg.digits_from_int(0, n_digits)
 
-    # -- host conversions (to/from Montgomery form) --------------------------
-    def to_mont_host(self, x: int):
-        return lb.limbs_from_int(x * self.r_mod_q % self.q, self.n_limbs)
-
-    def from_mont_int(self, arr) -> int:
-        return lb.limbs_to_int(self.from_mont(arr))
-
+    # -- host conversions ----------------------------------------------------
     def encode(self, values):
-        """Array of ints -> Montgomery-form limb array."""
+        """Ints -> Montgomery-form digit array."""
         vals = np.asarray(values, dtype=object)
-        scaled = (vals * self.r_mod_q) % self.q
-        return lb.limbs_from_ints(scaled, self.n_limbs)
+        scaled = (vals % self.q) * self.r_mod_q % self.q
+        return dg.digits_from_ints(scaled, self.n_limbs)
 
     def decode(self, arr) -> np.ndarray:
-        """Montgomery-form limb array -> object array of ints."""
-        return lb.limbs_to_ints(self.from_mont(arr))
+        """Montgomery-form digit array -> object array of ints."""
+        return dg.digits_to_ints(self.from_mont(arr))
 
-    # -- arithmetic (arrays in Montgomery form) ------------------------------
+    def to_mont_host(self, x: int):
+        return dg.digits_from_int(x % self.q * self.r_mod_q % self.q,
+                                  self.n_limbs)
+
+    def from_mont_int(self, arr) -> int:
+        return int(dg.digits_to_ints(self.from_mont(arr)))
+
+    # -- ring ops ------------------------------------------------------------
     def add(self, a, b):
-        return lb.add_mod(a, b, self.q_limbs)
+        s, _ = dg.add_digits(a, b)
+        d, ge = dg.sub_digits(s, self.q_digits)
+        return dg.select(ge, d, s)
 
     def sub(self, a, b):
-        return lb.sub_mod(a, b, self.q_limbs)
+        d, ge = dg.sub_digits(a, b)
+        wrapped, _ = dg.add_digits(d, self.q_digits)
+        return dg.select(ge, d, wrapped)
 
     def neg(self, a):
-        return lb.neg_mod(a, self.q_limbs)
+        z = jnp.zeros_like(a)
+        return dg.select(dg.is_zero_digits(a), z, self.sub(z, a))
 
     def mul(self, a, b):
-        return lb.mont_mul(a, b, self.q_limbs, self.q_inv32)
+        """Montgomery product: 3 MXU convolutions + carries.
+
+        T = a*b; m = (T mod R) * q' mod R; t = (T + m*q) / R < 2q; then one
+        conditional subtract -> canonical.
+        """
+        D = self.n_limbs
+        t_cols = dg.conv_full(a, b, 2 * D)
+        T, _ = dg.exact_norm(t_cols)
+        m_cols = dg.conv_full(T[..., :D], self.np_digits, D)
+        m, _ = dg.exact_norm(m_cols)
+        u_cols = dg.conv_full(m, self.q_digits, 2 * D)
+        U, _ = dg.exact_norm(u_cols)
+        S, _ = dg.add_digits(T, U)
+        t = S[..., D:]                       # low D digits are exactly zero
+        d, ge = dg.sub_digits(t, self.q_digits)
+        return dg.select(ge, d, t)
 
     def square(self, a):
         return self.mul(a, a)
 
     def from_mont(self, a):
-        """a * R^{-1}: multiply by 1 (non-Montgomery)."""
-        one = jnp.broadcast_to(
-            lb.limbs_from_int(1, self.n_limbs), a.shape)
-        return lb.mont_mul(a, one, self.q_limbs, self.q_inv32)
+        one = jnp.zeros_like(a).at[..., 0].set(1)
+        return self.mul(a, one)
 
     def to_mont(self, a):
-        """Raw residue array -> Montgomery form."""
-        r2 = jnp.broadcast_to(self.r2_limbs, a.shape)
-        return lb.mont_mul(a, r2, self.q_limbs, self.q_inv32)
+        r2 = jnp.broadcast_to(
+            dg.digits_from_int(self.r2_mod_q, self.n_limbs), a.shape)
+        return self.mul(a, r2)
 
+    # -- exponentiation ------------------------------------------------------
     def inv(self, a):
-        """a^{-1} via Fermat: a^(q-2), square-and-multiply over the fixed
-        exponent bits (static unroll, fully batched)."""
+        """a^{-1} via Fermat (a^(q-2)); fori_loop over exponent bits."""
         return self.pow_const(a, self.q - 2)
 
     def pow_const(self, a, e: int):
-        """a^e for a static integer exponent.
-
-        Square-and-multiply as a `fori_loop` over the exponent's bits (kept
-        in a constant array) so the compiled graph contains ONE mul+square
-        body instead of ~2*bits unrolled Montgomery products — the unrolled
-        form produces half-million-op graphs at 256-bit sizes.
-        """
+        """a^e for static e, square-and-multiply with a one-body loop."""
         if e == 0:
             return jnp.broadcast_to(self.one_mont, a.shape)
         nbits = e.bit_length()
         bits = jnp.asarray([(e >> i) & 1 for i in range(nbits)],
-                           dtype=jnp.uint32)
+                           dtype=jnp.int32)
 
         def body(i, carry):
             result, base = carry
@@ -114,33 +133,34 @@ class Field:
         result, _ = jax.lax.fori_loop(0, nbits, body, (result, a))
         return result
 
-    def is_zero(self, a):
-        return lb.is_zero(a)
-
-    def eq(self, a, b):
-        return lb.is_zero(self.sub(a, b))
-
-    def select(self, pred, a, b):
-        return lb.select(pred, a, b)
-
     def sqrt(self, a):
         """Square root for q == 3 mod 4: a^((q+1)/4); caller checks validity."""
         if self.q % 4 != 3:
             raise NotImplementedError("sqrt only for q = 3 mod 4")
         return self.pow_const(a, (self.q + 1) // 4)
 
+    # -- predicates ----------------------------------------------------------
+    def is_zero(self, a):
+        return dg.is_zero_digits(a)
+
+    def eq(self, a, b):
+        return dg.eq_digits(a, b)
+
+    def select(self, pred, a, b):
+        return dg.select(pred, a, b)
+
 
 def bn254_fq() -> Field:
-    return Field(BN254_FQ, 8)
+    return Field(BN254_FQ, 32)
 
 
 def bn254_fr() -> Field:
-    return Field(BN254_FR, 8)
+    return Field(BN254_FR, 32)
 
 
 def bls12_381_fq() -> Field:
-    return Field(BLS12_381_FQ, 12)
+    return Field(BLS12_381_FQ, 48)
 
 
 def bls12_381_fr() -> Field:
-    return Field(BLS12_381_FR, 8)
+    return Field(BLS12_381_FR, 32)

@@ -1,0 +1,120 @@
+"""Curve group law vs Python big-int Jacobian oracle (reference
+zk_elliptic_curve tests)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from node_fhe_accelerate_tpu.zk.curve import bn254_g1, bls12_381_g1
+from node_fhe_accelerate_tpu.ops import limbs as lb
+
+
+# -- host oracle -------------------------------------------------------------
+
+def aff_add(P, Q, q, b):
+    if P is None:
+        return Q
+    if Q is None:
+        return P
+    x1, y1 = P
+    x2, y2 = Q
+    if x1 == x2:
+        if (y1 + y2) % q == 0:
+            return None
+        lam = (3 * x1 * x1) * pow(2 * y1, -1, q) % q
+    else:
+        lam = (y2 - y1) * pow(x2 - x1, -1, q) % q
+    x3 = (lam * lam - x1 - x2) % q
+    y3 = (lam * (x1 - x3) - y1) % q
+    return (x3, y3)
+
+
+def aff_mul(k, P, q, b):
+    acc = None
+    base = P
+    while k:
+        if k & 1:
+            acc = aff_add(acc, base, q, b)
+        base = aff_add(base, base, q, b)
+        k >>= 1
+    return acc
+
+
+@pytest.fixture(scope="module", params=["bn254", "bls12_381"])
+def curve(request):
+    return bn254_g1() if request.param == "bn254" else bls12_381_g1()
+
+
+def test_generator_on_curve(curve):
+    gx, gy = curve.gen_affine
+    assert curve.is_on_curve_affine(gx, gy)
+
+
+def test_double_and_add_match_oracle(curve):
+    q = curve.fq.q
+    g = curve.generator()
+    d = curve.double(g)
+    x, y, inf = curve.to_affine_ints(d)
+    want = aff_mul(2, curve.gen_affine, q, curve.b)
+    assert not inf and (int(x), int(y)) == want
+
+    t = curve.add(d, g)  # 3G via add
+    x, y, inf = curve.to_affine_ints(t)
+    want3 = aff_mul(3, curve.gen_affine, q, curve.b)
+    assert not inf and (int(x), int(y)) == want3
+
+
+def test_add_equal_points_doubles(curve):
+    g = curve.generator()
+    via_add = curve.add(g, g)
+    via_dbl = curve.double(g)
+    assert bool(np.asarray(curve.eq(via_add, via_dbl)))
+
+
+def test_add_inverse_gives_infinity(curve):
+    g = curve.generator()
+    s = curve.add(g, curve.negate(g))
+    assert bool(np.asarray(curve.is_infinity(s)))
+
+
+def test_infinity_identity(curve):
+    g = curve.generator()
+    inf = curve.infinity()
+    assert bool(np.asarray(curve.eq(curve.add(g, inf), g)))
+    assert bool(np.asarray(curve.eq(curve.add(inf, g), g)))
+
+
+def test_scalar_mul_matches_oracle(curve):
+    q = curve.fq.q
+    ks = [1, 2, 5, 12345, curve.order - 1]
+    limbs = lb.limbs_from_ints(ks, 8)
+    g = curve.generator()
+    out = jax.jit(curve.scalar_mul)(limbs, g)
+    xs, ys, infs = curve.to_affine_ints(out)
+    for i, k in enumerate(ks):
+        want = aff_mul(k, curve.gen_affine, q, curve.b)
+        assert not infs[i]
+        assert (int(xs[i]), int(ys[i])) == want
+    # order * G = infinity
+    zero = lb.limbs_from_ints([curve.order], 8)
+    out0 = curve.scalar_mul(zero, g)
+    assert bool(np.asarray(curve.is_infinity(out0))[0])
+
+
+def test_msm_matches_sum(curve):
+    q = curve.fq.q
+    rng = np.random.default_rng(0)
+    ks = [int(rng.integers(1, 1 << 62)) for _ in range(4)]
+    # points: k_i * G as bases, scalars s_i
+    ss = [3, 7, 11, 1]
+    base_pts = [aff_mul(k, curve.gen_affine, q, curve.b) for k in ks]
+    P = curve.from_affine_ints([p[0] for p in base_pts],
+                               [p[1] for p in base_pts])
+    s_limbs = lb.limbs_from_ints(ss, 8)
+    got = curve.msm(s_limbs, P)
+    gx, gy, ginf = curve.to_affine_ints(got)
+    want = None
+    for s, p in zip(ss, base_pts):
+        want = aff_add(want, aff_mul(s, p, q, curve.b), q, curve.b)
+    assert not ginf
+    assert (int(gx), int(gy)) == want
