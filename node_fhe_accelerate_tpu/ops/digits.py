@@ -92,19 +92,36 @@ def conv_full_matrix(d: int, out_len: int):
 def conv_full(a, b, out_len: int | None = None):
     """Digit convolution columns of a*b: (..., out_len) int32, cols < 2^22.
 
-    a, b: strict digit arrays (..., D).  One f32 outer product + one matmul
-    against the constant band matrix — exact because every column sum is
-    far below 2^24.
+    a, b: strict digit arrays (..., D).  One grouped 1-D convolution in f32
+    (exact: every column sum is far below 2^24) — each batch element is its
+    own feature group so both operands vary per element.  A single XLA conv
+    primitive with no embedded constants keeps traces tiny and maps to the
+    TPU convolution/MXU path.
     """
+    import math as _math
+
     d = a.shape[-1]
     if out_len is None:
         out_len = 2 * d
-    m = conv_full_matrix(d, out_len)
-    outer = (a.astype(jnp.float32)[..., :, None]
-             * b.astype(jnp.float32)[..., None, :])
-    flat = outer.reshape(outer.shape[:-2] + (d * d,))
-    cols = jnp.matmul(flat, m, preferred_element_type=jnp.float32)
-    return cols.astype(I32)
+    batch_shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    B = int(_math.prod(batch_shape)) if batch_shape else 1
+    af = jnp.broadcast_to(a, batch_shape + (d,)).reshape(B, d)
+    bf = jnp.broadcast_to(b, batch_shape + (d,)).reshape(B, d)
+    lhs = af.astype(jnp.float32)[None, :, :]          # (1, B, D)   N C W
+    rhs = bf.astype(jnp.float32)[:, None, ::-1]       # (B, 1, D)   O I W
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs,
+        window_strides=(1,),
+        padding=[(d - 1, d - 1)],
+        feature_group_count=B,
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )[0]                                              # (B, 2D-1)
+    cols = out.astype(I32)
+    if out_len <= 2 * d - 1:
+        cols = cols[:, :out_len]
+    else:
+        cols = jnp.pad(cols, ((0, 0), (0, out_len - (2 * d - 1))))
+    return cols.reshape(batch_shape + (out_len,))
 
 
 # ---------------------------------------------------------------------------
@@ -112,25 +129,27 @@ def conv_full(a, b, out_len: int | None = None):
 # ---------------------------------------------------------------------------
 
 
-def _carry_op(left, right):
-    gl, pl = left
-    gr, pr = right
-    return (gr | (pr & gl), pr & pl)
-
-
 def _ks_add(lo, carry_in_bits):
-    """Exact sum of lo (digits <= 255) + carry bits (<= 1 per digit), via
-    carry-lookahead associative scan. Returns (strict digits, carry_out)."""
+    """Exact sum of lo (digits <= 255) + carry bits (<= 1 per digit).
+
+    Carry lookahead via two cummax ops: a carry flows out of digit i iff the
+    most recent 'generate' (sum > 255) at or below i is more recent than the
+    most recent 'kill' (sum < 255).  Returns (strict digits, carry_out)."""
     s = lo + carry_in_bits                    # <= 256
     gen = s > 255
-    prop = s == 255
-    g, p = jax.lax.associative_scan(_carry_op, (gen, prop), axis=-1)
-    # carry into digit i (i>=1) = prefix G_{i-1}
+    kill = s < 255                            # neither gen nor propagate
+    d = s.shape[-1]
+    iota = jax.lax.broadcasted_iota(I32, s.shape, s.ndim - 1) + 1
+    gen_pos = jnp.where(gen, iota, 0)
+    kill_pos = jnp.where(kill, iota, 0)
+    cg = jax.lax.cummax(gen_pos, axis=s.ndim - 1)
+    ck = jax.lax.cummax(kill_pos, axis=s.ndim - 1)
+    carry_out_of = cg > ck                    # carry flows out of digit i
     c = jnp.concatenate(
-        [jnp.zeros_like(g[..., :1]), g[..., :-1]], axis=-1).astype(I32)
+        [jnp.zeros_like(s[..., :1]),
+         carry_out_of[..., :-1].astype(I32)], axis=-1)
     out = (s + c) & 255
-    carry_out = g[..., -1]
-    return out, carry_out
+    return out, carry_out_of[..., -1]
 
 
 def exact_norm(cols, rounds: int = 3):

@@ -1,0 +1,404 @@
+"""Bulletproofs: Pedersen commitments, inner-product argument, range proofs.
+
+Twin of the reference's prover/verifier
+(cpp/include/bulletproofs.h:199-375, cpp/src/bulletproofs.cpp:318-1065) with
+the same protocol shape and transcript schedule:
+
+* generators: G = curve generator, H/U/g_i/h_i hash-to-curve from labeled
+  seeds ("Bulletproofs_H", "Bulletproofs_g_<i>", ... bulletproofs.cpp:318-350)
+* range proof: A,S commitments -> y,z -> T1,T2 -> x -> t_hat/tau_x/mu -> w
+  -> inner-product argument on folded generators (bulletproofs.cpp:575-743)
+* IPA: recursive halving with L/R commitments and x challenges
+  (bulletproofs.cpp:463-560); verification via the s-vector product form
+  (bulletproofs.cpp:878-950)
+
+Protocol scalars are host ints (the transcript serializes them anyway);
+every bulk point operation — vector commitments, generator folding, the
+verifier MSM — is a batched device program over the Jacobian curve ops.
+"""
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field as dfield
+
+import numpy as np
+import jax.numpy as jnp
+
+from .curve import Curve, bn254_g1
+from .hashes import Transcript
+from ..ops import limbs as lb
+
+__all__ = ["BulletproofsGens", "PedersenCommitment", "RangeProof",
+           "InnerProductProof", "BulletproofsProver", "BulletproofsVerifier",
+           "hash_to_curve"]
+
+
+def hash_to_curve(label: bytes, curve: Curve):
+    """Deterministic try-and-increment hash-to-curve (the reference's
+    hash_to_curve_256 analog).  Returns affine ints (x, y)."""
+    q = curve.fq.q
+    ctr = 0
+    while True:
+        h = hashlib.sha256(label + ctr.to_bytes(4, "little")).digest()
+        x = int.from_bytes(h, "little") % q
+        rhs = (x * x * x + curve.b) % q
+        y = pow(rhs, (q + 1) // 4, q)
+        if y * y % q == rhs:
+            if y % 2:
+                y = q - y
+            return (x, y)
+        ctr += 1
+
+
+@dataclass
+class BulletproofsGens:
+    """G, H, U and the g/h vectors (bulletproofs.h BulletproofsGenerators)."""
+    curve: Curve
+    G: tuple
+    H: tuple
+    U: tuple
+    g_vec: tuple   # batched points (n, D)
+    h_vec: tuple
+    n: int
+
+    @classmethod
+    def generate(cls, curve: Curve, n: int) -> "BulletproofsGens":
+        G = curve.generator()
+        hx, hy = hash_to_curve(b"Bulletproofs_H", curve)
+        ux, uy = hash_to_curve(b"Bulletproofs_U", curve)
+        gs = [hash_to_curve(f"Bulletproofs_g_{i}".encode(), curve)
+              for i in range(n)]
+        hs = [hash_to_curve(f"Bulletproofs_h_{i}".encode(), curve)
+              for i in range(n)]
+        return cls(
+            curve=curve,
+            G=G,
+            H=curve.from_affine_ints([hx], [hy]),
+            U=curve.from_affine_ints([ux], [uy]),
+            g_vec=curve.from_affine_ints([g[0] for g in gs],
+                                         [g[1] for g in gs]),
+            h_vec=curve.from_affine_ints([h[0] for h in hs],
+                                         [h[1] for h in hs]),
+            n=n,
+        )
+
+
+@dataclass
+class PedersenCommitment:
+    point: tuple            # V = value*G + blinding*H
+    value: int | None = None
+    blinding: int | None = None
+
+
+@dataclass
+class InnerProductProof:
+    L: list                 # affine int pairs per round
+    R: list
+    a: int
+    b: int
+
+
+@dataclass
+class RangeProof:
+    A: tuple
+    S: tuple
+    T1: tuple
+    T2: tuple
+    t_hat: int
+    tau_x: int
+    mu: int
+    inner: InnerProductProof | None = None
+
+
+def _scalars(vals, width=8):
+    return lb.limbs_from_ints([int(v) for v in vals], width)
+
+
+def _aff(curve: Curve, p) -> tuple:
+    """Device point -> (x, y, inf) host ints for the transcript."""
+    x, y, inf = curve.to_affine_ints(p)
+    x = np.atleast_1d(x)
+    y = np.atleast_1d(y)
+    inf = np.atleast_1d(inf)
+    return (int(x[0]), int(y[0]), bool(inf[0]))
+
+
+def _slice(p, sl):
+    return (p[0][sl], p[1][sl], p[2][sl])
+
+
+def _single(p, i=0):
+    return (p[0][i], p[1][i], p[2][i])
+
+
+class BulletproofsProver:
+    def __init__(self, curve: Curve | None = None, rng_seed: int = 0):
+        self.curve = curve or bn254_g1()
+        self.r = self.curve.order
+        self._rng = np.random.default_rng(rng_seed)
+
+    # -- helpers -------------------------------------------------------------
+    def random_scalar(self) -> int:
+        return int.from_bytes(self._rng.bytes(40), "little") % self.r
+
+    def commit(self, value: int, blinding: int, gens: BulletproofsGens
+               ) -> PedersenCommitment:
+        """V = value*G + blinding*H (Pedersen)."""
+        c = self.curve
+        pts = _stack_points([gens.G, _single(gens.H)])
+        V = c.msm(_scalars([value, blinding]), pts)
+        return PedersenCommitment(point=V, value=value, blinding=blinding)
+
+    def _vector_commit(self, a_scalars, b_scalars, g_vec, h_vec):
+        """sum a_i g_i + sum b_i h_i as one MSM."""
+        c = self.curve
+        n = len(a_scalars)
+        pts = (jnp.concatenate([g_vec[0], h_vec[0]]),
+               jnp.concatenate([g_vec[1], h_vec[1]]),
+               jnp.concatenate([g_vec[2], h_vec[2]]))
+        return c.msm(_scalars(list(a_scalars) + list(b_scalars)), pts)
+
+    # -- inner product argument (bulletproofs.cpp:463-560) -------------------
+    def prove_inner_product(self, a, b, g_vec, h_vec, U, transcript
+                            ) -> InnerProductProof:
+        c = self.curve
+        r = self.r
+        a = [x % r for x in a]
+        b = [x % r for x in b]
+        g, h = g_vec, h_vec
+        n = len(a)
+        Ls, Rs = [], []
+        while n > 1:
+            half = n // 2
+            a_lo, a_hi = a[:half], a[half:]
+            b_lo, b_hi = b[:half], b[half:]
+            g_lo, g_hi = _slice(g, slice(0, half)), _slice(g, slice(half, n))
+            h_lo, h_hi = _slice(h, slice(0, half)), _slice(h, slice(half, n))
+            c_L = sum(x * y for x, y in zip(a_lo, b_hi)) % r
+            c_R = sum(x * y for x, y in zip(a_hi, b_lo)) % r
+
+            L = c.msm(_scalars(a_lo + b_hi + [c_L]),
+                      _stack_points([g_hi, h_lo, U]))
+            R = c.msm(_scalars(a_hi + b_lo + [c_R]),
+                      _stack_points([g_lo, h_hi, U]))
+            La, Ra = _aff(c, L), _aff(c, R)
+            Ls.append(La)
+            Rs.append(Ra)
+            transcript.append_point("L", La)
+            transcript.append_point("R", Ra)
+            x = transcript.challenge_field_element("x", r)
+            x_inv = pow(x, -1, r)
+
+            a = [(lo * x + hi * x_inv) % r for lo, hi in zip(a_lo, a_hi)]
+            b = [(lo * x_inv + hi * x) % r for lo, hi in zip(b_lo, b_hi)]
+            # g' = x_inv*g_lo + x*g_hi ; h' = x*h_lo + x_inv*h_hi (batched)
+            xi = _scalars([x_inv] * half)
+            xs = _scalars([x] * half)
+            g = c.add(c.scalar_mul(xi, g_lo), c.scalar_mul(xs, g_hi))
+            h = c.add(c.scalar_mul(xs, h_lo), c.scalar_mul(xi, h_hi))
+            n = half
+        return InnerProductProof(L=Ls, R=Rs, a=a[0], b=b[0])
+
+    # -- range proof (bulletproofs.cpp:575-743) ------------------------------
+    def prove_range(self, value: int, blinding: int, n: int,
+                    gens: BulletproofsGens) -> RangeProof:
+        if value < 0 or value >= (1 << n):
+            raise ValueError("value out of range")
+        if gens.n < n:
+            raise ValueError("not enough generators")
+        c = self.curve
+        r = self.r
+        transcript = Transcript("Bulletproofs_RangeProof")
+
+        a_L = [(value >> i) & 1 for i in range(n)]
+        a_R = [(x - 1) % r for x in a_L]
+        s_L = [self.random_scalar() for _ in range(n)]
+        s_R = [self.random_scalar() for _ in range(n)]
+        alpha = self.random_scalar()
+        rho = self.random_scalar()
+
+        g_n = _slice(gens.g_vec, slice(0, n))
+        h_n = _slice(gens.h_vec, slice(0, n))
+
+        A = c.msm(_scalars(a_L + a_R + [alpha]),
+                  _stack_points([g_n, h_n, gens.H]))
+        S = c.msm(_scalars(s_L + s_R + [rho]),
+                  _stack_points([g_n, h_n, gens.H]))
+        A_a, S_a = _aff(c, A), _aff(c, S)
+        transcript.append_point("A", A_a)
+        transcript.append_point("S", S_a)
+        y = transcript.challenge_field_element("y", r)
+        z = transcript.challenge_field_element("z", r)
+        z2 = z * z % r
+
+        y_pow = _powers(y, n, r)
+        two_pow = _powers(2, n, r)
+        l0 = [(aL - z) % r for aL in a_L]
+        r0 = [(y_pow[i] * ((a_R[i] + z) % r) + z2 * two_pow[i]) % r
+              for i in range(n)]
+        t0 = sum(l0[i] * r0[i] for i in range(n)) % r
+        t1 = sum(l0[i] * (y_pow[i] * s_R[i]) + s_L[i] * r0[i]
+                 for i in range(n)) % r
+        t2 = sum(s_L[i] * y_pow[i] * s_R[i] for i in range(n)) % r
+
+        tau1 = self.random_scalar()
+        tau2 = self.random_scalar()
+        T1 = c.msm(_scalars([t1, tau1]), _stack_points([c.generator(),
+                                                        gens.H]))
+        T2 = c.msm(_scalars([t2, tau2]), _stack_points([c.generator(),
+                                                        gens.H]))
+        T1_a, T2_a = _aff(c, T1), _aff(c, T2)
+        transcript.append_point("T1", T1_a)
+        transcript.append_point("T2", T2_a)
+        x = transcript.challenge_field_element("x", r)
+        x2 = x * x % r
+
+        l_vec = [(l0[i] + s_L[i] * x) % r for i in range(n)]
+        r_vec = [(r0[i] + y_pow[i] * s_R[i] * x) % r for i in range(n)]
+        t_hat = (t0 + t1 * x + t2 * x2) % r
+        tau_x = (tau2 * x2 + tau1 * x + z2 * blinding) % r
+        mu = (alpha + rho * x) % r
+
+        # h' = h_i^(y^-i)
+        y_inv = pow(y, -1, r)
+        y_inv_pow = _powers(y_inv, n, r)
+        h_prime = c.scalar_mul(_scalars(y_inv_pow), h_n)
+
+        transcript.append_field_element("t_hat", t_hat)
+        transcript.append_field_element("tau_x", tau_x)
+        transcript.append_field_element("mu", mu)
+        w = transcript.challenge_field_element("w", r)
+        U_prime = c.scalar_mul(_scalars([w]), gens.U)
+
+        inner = self.prove_inner_product(
+            l_vec, r_vec, g_n, h_prime, _single(U_prime), transcript)
+        return RangeProof(A=A_a, S=S_a, T1=T1_a, T2=T2_a, t_hat=t_hat,
+                          tau_x=tau_x, mu=mu, inner=inner)
+
+
+class BulletproofsVerifier:
+    def __init__(self, curve: Curve | None = None):
+        self.curve = curve or bn254_g1()
+        self.r = self.curve.order
+
+    def _delta(self, y, z, n):
+        """(z - z^2)<1, y^n> - z^3<1, 2^n> (bulletproofs.cpp:426-460)."""
+        r = self.r
+        z2 = z * z % r
+        z3 = z2 * z % r
+        sy = sum(_powers(y, n, r)) % r
+        s2 = (1 << n) - 1
+        return ((z - z2) * sy - z3 * s2) % r
+
+    def verify_range(self, commitment: PedersenCommitment, proof: RangeProof,
+                     n: int, gens: BulletproofsGens) -> bool:
+        c = self.curve
+        r = self.r
+        transcript = Transcript("Bulletproofs_RangeProof")
+        transcript.append_point("A", proof.A)
+        transcript.append_point("S", proof.S)
+        y = transcript.challenge_field_element("y", r)
+        z = transcript.challenge_field_element("z", r)
+        transcript.append_point("T1", proof.T1)
+        transcript.append_point("T2", proof.T2)
+        x = transcript.challenge_field_element("x", r)
+        transcript.append_field_element("t_hat", proof.t_hat)
+        transcript.append_field_element("tau_x", proof.tau_x)
+        transcript.append_field_element("mu", proof.mu)
+        w = transcript.challenge_field_element("w", r)
+
+        z2 = z * z % r
+        x2 = x * x % r
+        delta = self._delta(y, z, n)
+
+        # t_hat*G + tau_x*H == z^2*V + delta*G + x*T1 + x^2*T2
+        T1 = c.from_affine_ints([proof.T1[0]], [proof.T1[1]])
+        T2 = c.from_affine_ints([proof.T2[0]], [proof.T2[1]])
+        lhs = c.msm(_scalars([proof.t_hat, proof.tau_x]),
+                    _stack_points([c.generator(), gens.H]))
+        rhs = c.msm(_scalars([z2, delta, x, x2]),
+                    _stack_points([commitment.point, c.generator(), T1, T2]))
+        if not bool(np.asarray(c.eq(lhs, rhs))):
+            return False
+
+        # P = A + x*S - z*sum(g_i) + sum((z*y^i + z^2*2^i) y^-i) h_i - mu*H
+        y_pow = _powers(y, n, r)
+        two_pow = _powers(2, n, r)
+        y_inv_pow = _powers(pow(y, -1, r), n, r)
+        g_n = _slice(gens.g_vec, slice(0, n))
+        h_n = _slice(gens.h_vec, slice(0, n))
+        h_prime = c.scalar_mul(_scalars(y_inv_pow), h_n)
+        A = c.from_affine_ints([proof.A[0]], [proof.A[1]])
+        S = c.from_affine_ints([proof.S[0]], [proof.S[1]])
+        h_scalars = [(z * y_pow[i] + z2 * two_pow[i]) % r for i in range(n)]
+        # note h' scalars fold the y^-i into h_prime already
+        P = c.msm(
+            _scalars([1, x] + [(r - z) % r] * n + h_scalars
+                     + [(r - proof.mu) % r, (w * proof.t_hat) % r]),
+            _stack_points([A, S, g_n, h_prime, gens.H, gens.U]))
+
+        return self.verify_inner_product(
+            P, proof.t_hat, proof.inner, g_n, h_prime, gens.U, w, transcript)
+
+    def verify_inner_product(self, P, c_val, proof: InnerProductProof,
+                             g_vec, h_vec, U, w, transcript) -> bool:
+        """s-vector verification (bulletproofs.cpp:878-950): check
+        P == sum(s_i a g_i) + sum(s_i^-1 b h_i) + (a b w) U
+           - sum(x_j^2 L_j + x_j^-2 R_j)."""
+        c = self.curve
+        r = self.r
+        n = g_vec[0].shape[0]
+        rounds = len(proof.L)
+        if (1 << rounds) != n:
+            return False
+        challenges = []
+        for La, Ra in zip(proof.L, proof.R):
+            transcript.append_point("L", La)
+            transcript.append_point("R", Ra)
+            challenges.append(transcript.challenge_field_element("x", r))
+        inv_ch = [pow(x, -1, r) for x in challenges]
+
+        s = []
+        for i in range(n):
+            acc = 1
+            for j in range(rounds):
+                bit = (i >> (rounds - 1 - j)) & 1
+                acc = acc * (challenges[j] if bit else inv_ch[j]) % r
+            s.append(acc)
+
+        scalars = ([(s[i] * proof.a) % r for i in range(n)]
+                   + [(pow(s[i], -1, r) * proof.b) % r for i in range(n)]
+                   + [proof.a * proof.b % r * w % r])
+        pts = [g_vec, h_vec, U]
+        # subtract L/R terms: -x_j^2 L_j - x_j^-2 R_j
+        for j in range(rounds):
+            Lx, Ly, Linf = proof.L[j]
+            Rx, Ry, Rinf = proof.R[j]
+            Lp = c.from_affine_ints([Lx], [Ly])
+            Rp = c.from_affine_ints([Rx], [Ry])
+            pts.append(Lp)
+            scalars.append((r - challenges[j] * challenges[j]) % r)
+            pts.append(Rp)
+            scalars.append((r - inv_ch[j] * inv_ch[j]) % r)
+        rhs = c.msm(_scalars(scalars), _stack_points(pts))
+        return bool(np.asarray(c.eq(P, rhs)))
+
+
+def _powers(x, n, r):
+    out = [1]
+    for _ in range(1, n):
+        out.append(out[-1] * x % r)
+    return out
+
+
+def _stack_points(pieces):
+    """Stack a mix of single points (D,) and batched points (n, D)."""
+    xs, ys, zs = [], [], []
+    for p in pieces:
+        X, Y, Z = p
+        if X.ndim == 1:
+            X, Y, Z = X[None], Y[None], Z[None]
+        xs.append(X)
+        ys.append(Y)
+        zs.append(Z)
+    return (jnp.concatenate(xs), jnp.concatenate(ys), jnp.concatenate(zs))

@@ -38,6 +38,13 @@ class Curve:
         self.b_mont = fq.encode([b])[0]
         self.order = order
         self.gen_affine = (gx, gy)
+        # Jitted entry points (cached per input shape): protocol code calls
+        # these thousands of times eagerly — per-op dispatch would dominate.
+        self.add = jax.jit(self._add_impl)
+        self.double = jax.jit(self._double_impl)
+        self.scalar_mul = jax.jit(self._scalar_mul_impl,
+                                  static_argnames=("window",))
+        self.eq = jax.jit(self._eq_impl)
 
     # -- construction --------------------------------------------------------
     def generator(self, batch=()):
@@ -77,7 +84,7 @@ class Curve:
         return (y * y - (x * x * x + self.b)) % q == 0
 
     # -- group law (branchless) ---------------------------------------------
-    def double(self, p):
+    def _double_impl(self, p):
         """dbl-2009-l for a=0: 3M + 5S (zk_elliptic_curve.cpp double)."""
         f = self.fq
         X, Y, Z = p
@@ -96,7 +103,7 @@ class Curve:
         # Doubling infinity stays infinity (Z=0 -> Z3=0 automatically)
         return (X3, Y3, Z3)
 
-    def add(self, p, q):
+    def _add_impl(self, p, q):
         """add-2007-bl with doubling/infinity cases resolved by masks."""
         f = self.fq
         X1, Y1, Z1 = p
@@ -124,7 +131,7 @@ class Curve:
         p_inf = f.is_zero(Z1)
         q_inf = f.is_zero(Z2)
 
-        dbl = self.double(p)
+        dbl = self._double_impl(p)
         use_dbl = same_x & same_y & ~p_inf & ~q_inf
         to_inf = same_x & ~same_y & ~p_inf & ~q_inf
 
@@ -146,44 +153,78 @@ class Curve:
         return (X, self.fq.neg(Y), Z)
 
     # -- scalar multiplication ----------------------------------------------
-    def scalar_mul(self, scalar_limbs, p):
-        """[s]P, double-and-add over scalar bits (fori_loop, batched).
+    def _scalar_mul_impl(self, scalar_limbs, p, window: int = 4):
+        """[s]P via fixed-window (2^w-entry table) double-and-add, batched.
 
         scalar_limbs: (..., Ls) uint32 little-endian (Fr residues, NOT
-        Montgomery form).
+        Montgomery form).  The per-point multiples table is built with
+        2^w - 2 batched adds; the main loop runs ceil(bits/w) iterations of
+        w doubles + one table-gather + one add — about half the field muls
+        of bit-serial double-and-add.
         """
         f = self.fq
         Ls = scalar_limbs.shape[-1]
         nbits = 32 * Ls
-
-        def body(i, carry):
-            acc, base = carry
-            limb = jax.lax.dynamic_index_in_dim(
-                scalar_limbs, i // 32, axis=-1, keepdims=False)
-            bit = (limb >> (i % 32)) & 1
-            added = self.add(acc, base)
-            take = (bit == 1)
-            acc = (f.select(take, added[0], acc[0]),
-                   f.select(take, added[1], acc[1]),
-                   f.select(take, added[2], acc[2]))
-            base = self.double(base)
-            return (acc, base)
-
+        w = window
+        assert 32 % w == 0
         batch = scalar_limbs.shape[:-1]
-        acc = self.infinity(batch)
         base = (jnp.broadcast_to(p[0], batch + (f.n_limbs,)),
                 jnp.broadcast_to(p[1], batch + (f.n_limbs,)),
                 jnp.broadcast_to(p[2], batch + (f.n_limbs,)))
-        (acc, _) = jax.lax.fori_loop(0, nbits, body, (acc, base))
-        return acc
 
-    def msm(self, scalar_limbs, points):
+        # table[j] = [j]P, j in [0, 2^w), built with a scan (one add body)
+        def tstep(prev, _):
+            nxt = self._add_impl(prev, base)
+            return nxt, nxt
+
+        _, rest = jax.lax.scan(tstep, base, None, length=(1 << w) - 2)
+        inf = self.infinity(batch)
+        tX = jnp.concatenate([inf[0][None], base[0][None], rest[0]])
+        tY = jnp.concatenate([inf[1][None], base[1][None], rest[1]])
+        tZ = jnp.concatenate([inf[2][None], base[2][None], rest[2]])
+
+        n_steps = nbits // w
+
+        def body(i, acc):
+            # process window starting at bit (nbits - (i+1)*w), MSB first
+            for _ in range(w):
+                acc = self._double_impl(acc)
+            shift_bits = nbits - (i + 1) * w
+            limb = jax.lax.dynamic_index_in_dim(
+                scalar_limbs, shift_bits // 32, axis=-1, keepdims=False)
+            nib = (limb >> (shift_bits % 32)) & ((1 << w) - 1)
+            idx = nib.astype(jnp.int32)[None, ..., None]
+            sel = (jnp.take_along_axis(tX, idx, axis=0)[0],
+                   jnp.take_along_axis(tY, idx, axis=0)[0],
+                   jnp.take_along_axis(tZ, idx, axis=0)[0])
+            return self._add_impl(acc, sel)
+
+        acc = self.infinity(batch)
+        return jax.lax.fori_loop(0, n_steps, body, acc)
+
+    def msm(self, scalar_limbs, points, pad_pow2: bool = True):
         """sum_i s_i * P_i: batched double-and-add + tree reduction.
 
+        Pads the batch to the next power of two (zero scalars x infinity)
+        so proof-system MSMs of ragged sizes share compiled shapes.
         (The reference's `msm`/`msm_gpu` is Pippenger on CPU,
         zk_elliptic_curve.h:193-254; a windowed Pippenger over these batched
         primitives is the planned fast path.)
         """
+        import numpy as _np
+
+        n = scalar_limbs.shape[0]
+        if pad_pow2 and n & (n - 1):
+            size = 1 << (n - 1).bit_length()
+            pad = size - n
+            scalar_limbs = jnp.concatenate(
+                [scalar_limbs,
+                 jnp.zeros((pad,) + scalar_limbs.shape[1:],
+                           scalar_limbs.dtype)], axis=0)
+            inf = self.infinity((pad,))
+            points = (jnp.concatenate([points[0], inf[0]]),
+                      jnp.concatenate([points[1], inf[1]]),
+                      jnp.concatenate([points[2], inf[2]]))
         acc = self.scalar_mul(scalar_limbs, points)   # (B, ...) points
         X, Y, Z = acc
         while X.shape[0] > 1:
@@ -198,7 +239,7 @@ class Curve:
                 X, Y, Z = s
         return (X[0], Y[0], Z[0])
 
-    def eq(self, p, q):
+    def _eq_impl(self, p, q):
         """Projective equality: X1 Z2^2 == X2 Z1^2 and Y1 Z2^3 == Y2 Z1^3."""
         f = self.fq
         X1, Y1, Z1 = p

@@ -1,0 +1,323 @@
+"""BN254 (alt_bn128) optimal-ate pairing — real, host-side.
+
+The reference never implements a pairing: its Groth16 "pairing check" is
+structural ("Real implementation would use optimal ate pairing",
+groth16.cpp:1113-1139) and its G2 operations reuse G1 placeholders
+(groth16.cpp:822,870).  This module provides an actual pairing so Groth16
+and KZG verification are cryptographically meaningful (SURVEY.md hard part
+(f)).
+
+Design: verification evaluates O(1) pairings on the host, so this is plain
+Python big-int arithmetic over the Fq12 extension (the generic polynomial
+representation with modulus w^12 - 18 w^6 + 82, the standard BN254 tower
+flattening).  Prover-side bulk work (MSMs) stays on device in zk/curve.py.
+
+Checked against bilinearity and the standard generator pairing identities in
+tests/test_pairing.py.
+"""
+from __future__ import annotations
+
+# Standalone int constants (keep this module jax-free: it is host-side
+# verifier code and must import instantly even where the TPU plugin is slow)
+P = 21888242871839275222246405745257275088696311157297823662689037894645226208583
+R = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+
+__all__ = ["FQ2", "FQ12", "pairing", "pairing_check",
+           "G2_GENERATOR", "g2_add", "g2_mul", "g2_neg", "is_on_g2"]
+
+# BN parameter and ate loop count
+ATE_LOOP_COUNT = 29793968203157093288  # 6u + 2 for u = 4965661367192848881
+
+# Fq12 modulus: w^12 - 18 w^6 + 82  (coefficients of the reduction poly)
+FQ12_MODULUS_COEFFS = [82, 0, 0, 0, 0, 0, -18, 0, 0, 0, 0, 0]
+
+
+# ---------------------------------------------------------------------------
+# Generic polynomial extension field elements (tuples of ints mod P)
+# ---------------------------------------------------------------------------
+
+
+class _Poly:
+    """Element of Fq[x]/(modulus); subclasses fix degree + modulus."""
+
+    degree = 0
+    modulus_coeffs: list = []
+
+    def __init__(self, coeffs):
+        if len(coeffs) != self.degree:
+            raise ValueError(f"need {self.degree} coeffs")
+        self.coeffs = [c % P for c in coeffs]
+
+    # arithmetic
+    def __add__(self, other):
+        return type(self)([a + b for a, b in zip(self.coeffs, other.coeffs)])
+
+    def __sub__(self, other):
+        return type(self)([a - b for a, b in zip(self.coeffs, other.coeffs)])
+
+    def __neg__(self):
+        return type(self)([-a for a in self.coeffs])
+
+    def __mul__(self, other):
+        if isinstance(other, int):
+            return type(self)([a * other for a in self.coeffs])
+        d = self.degree
+        tmp = [0] * (2 * d - 1)
+        for i, a in enumerate(self.coeffs):
+            if a:
+                for j, b in enumerate(other.coeffs):
+                    tmp[i + j] += a * b
+        # reduce by the modulus polynomial
+        for i in range(2 * d - 2, d - 1, -1):
+            top = tmp[i] % P
+            if top:
+                tmp[i] = 0
+                for j, mc in enumerate(self.modulus_coeffs):
+                    tmp[i - d + j] -= top * mc
+        return type(self)([c % P for c in tmp[:d]])
+
+    __rmul__ = __mul__
+
+    def __pow__(self, e: int):
+        result = type(self).one()
+        base = self
+        while e:
+            if e & 1:
+                result = result * base
+            base = base * base
+            e >>= 1
+        return result
+
+    def inv(self):
+        """Extended Euclid over Fq[x] against the modulus polynomial."""
+        lm, hm = [1] + [0] * self.degree, [0] * (self.degree + 1)
+        low = self.coeffs + [0]
+        high = self.modulus_coeffs + [1]
+        while _deg(low):
+            r_ = _poly_rounded_div(high, low)
+            r_ = r_ + [0] * (self.degree + 1 - len(r_))
+            nm = list(hm)
+            new = list(high)
+            for i in range(self.degree + 1):
+                for j in range(self.degree + 1 - i):
+                    nm[i + j] -= lm[i] * r_[j]
+                    new[i + j] -= low[i] * r_[j]
+            nm = [x % P for x in nm]
+            new = [x % P for x in new]
+            lm, low, hm, high = nm, new, lm, low
+        inv_low0 = pow(low[0], -1, P)
+        return type(self)([c * inv_low0 % P for c in lm[: self.degree]])
+
+    def __truediv__(self, other):
+        if isinstance(other, int):
+            return self * pow(other, -1, P)
+        return self * other.inv()
+
+    def __eq__(self, other):
+        return self.coeffs == other.coeffs
+
+    def __ne__(self, other):
+        return not self == other
+
+    @classmethod
+    def one(cls):
+        return cls([1] + [0] * (cls.degree - 1))
+
+    @classmethod
+    def zero(cls):
+        return cls([0] * cls.degree)
+
+    def is_zero(self):
+        return all(c == 0 for c in self.coeffs)
+
+    def __repr__(self):
+        return f"{type(self).__name__}({self.coeffs})"
+
+
+def _deg(p):
+    d = len(p) - 1
+    while d and p[d] % P == 0:
+        d -= 1
+    return d
+
+
+def _poly_rounded_div(a, b):
+    dega, degb = _deg(a), _deg(b)
+    temp = list(a)
+    out = [0] * len(a)
+    binv = pow(b[degb], -1, P)
+    for i in range(dega - degb, -1, -1):
+        out[i] = (out[i] + temp[degb + i] * binv) % P
+        for c in range(degb + 1):
+            temp[c + i] = (temp[c + i] - out[i] * b[c]) % P
+    return [x % P for x in out[: dega - degb + 1]]
+
+
+class FQ2(_Poly):
+    degree = 2
+    modulus_coeffs = [1, 0]  # i^2 = -1
+
+
+class FQ12(_Poly):
+    degree = 12
+    modulus_coeffs = FQ12_MODULUS_COEFFS
+
+
+# ---------------------------------------------------------------------------
+# G2 (points over Fq2) — affine with None = infinity
+# ---------------------------------------------------------------------------
+
+# b2 = 3 / (9 + i)
+_B2 = FQ2([3, 0]) / FQ2([9, 1])
+
+G2_GENERATOR = (
+    FQ2([10857046999023057135944570762232829481370756359578518086990519993285655852781,
+         11559732032986387107991004021392285783925812861821192530917403151452391805634]),
+    FQ2([8495653923123431417604973247489272438418190587263600148770280649306958101930,
+         4082367875863433681332203403145435568316851327593401208105741076214120093531]),
+)
+
+
+def is_on_g2(pt) -> bool:
+    if pt is None:
+        return True
+    x, y = pt
+    return y * y - x * x * x == _B2
+
+
+def g2_neg(pt):
+    if pt is None:
+        return None
+    x, y = pt
+    return (x, -y)
+
+
+def g2_add(p1, p2):
+    if p1 is None:
+        return p2
+    if p2 is None:
+        return p1
+    x1, y1 = p1
+    x2, y2 = p2
+    if x1 == x2 and y1 == y2:
+        return g2_double(p1)
+    if x1 == x2:
+        return None
+    lam = (y2 - y1) / (x2 - x1)
+    x3 = lam * lam - x1 - x2
+    return (x3, lam * (x1 - x3) - y1)
+
+
+def g2_double(pt):
+    x, y = pt
+    lam = (3 * (x * x)) / (2 * y)
+    x3 = lam * lam - x - x
+    return (x3, lam * (x - x3) - y)
+
+
+def g2_mul(pt, k: int):
+    acc = None
+    base = pt
+    k = k % R if k >= R else k
+    while k:
+        if k & 1:
+            acc = g2_add(acc, base)
+        base = g2_double(base)
+        k >>= 1
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Twist into E(Fq12) and the Miller loop
+# ---------------------------------------------------------------------------
+
+_W = FQ12([0, 1] + [0] * 10)
+_W2 = _W * _W
+_W3 = _W2 * _W
+
+
+def _twist(pt):
+    """Map a G2 point (Fq2 coords) to E(Fq12) (py_ecc-style untwist)."""
+    if pt is None:
+        return None
+    x, y = pt
+    xc = [x.coeffs[0] - 9 * x.coeffs[1], x.coeffs[1]]
+    yc = [y.coeffs[0] - 9 * y.coeffs[1], y.coeffs[1]]
+    nx = FQ12([xc[0]] + [0] * 5 + [xc[1]] + [0] * 5)
+    ny = FQ12([yc[0]] + [0] * 5 + [yc[1]] + [0] * 5)
+    return (nx * _W2, ny * _W3)
+
+
+def _cast_g1(pt):
+    """G1 affine ints -> E(Fq12)."""
+    if pt is None:
+        return None
+    x, y = pt
+    return (FQ12([x] + [0] * 11), FQ12([y] + [0] * 11))
+
+
+def _linefunc(p1, p2, t):
+    """Evaluate the line through p1, p2 at t (all in E(Fq12))."""
+    x1, y1 = p1
+    x2, y2 = p2
+    xt, yt = t
+    if x1 != x2:
+        m = (y2 - y1) / (x2 - x1)
+        return m * (xt - x1) - (yt - y1)
+    if y1 == y2:
+        m = 3 * (x1 * x1) / (2 * y1)
+        return m * (xt - x1) - (yt - y1)
+    return xt - x1
+
+
+def _miller_loop(q, p):
+    """f_{ate}(Q, P) with final exponentiation."""
+    if q is None or p is None:
+        return FQ12.one()
+    r_pt = q
+    f = FQ12.one()
+    for i in range(ATE_LOOP_COUNT.bit_length() - 2, -1, -1):
+        f = f * f * _linefunc(r_pt, r_pt, p)
+        r_pt = _ec_double(r_pt)
+        if ATE_LOOP_COUNT & (1 << i):
+            f = f * _linefunc(r_pt, q, p)
+            r_pt = _ec_add(r_pt, q)
+    # Frobenius endomorphism steps
+    q1 = (q[0] ** P, q[1] ** P)
+    nq2 = (q1[0] ** P, -(q1[1] ** P))
+    f = f * _linefunc(r_pt, q1, p)
+    r_pt = _ec_add(r_pt, q1)
+    f = f * _linefunc(r_pt, nq2, p)
+    return f ** ((P ** 12 - 1) // R)
+
+
+def _ec_double(pt):
+    x, y = pt
+    m = 3 * (x * x) / (2 * y)
+    nx = m * m - x - x
+    return (nx, m * (x - nx) - y)
+
+
+def _ec_add(p1, p2):
+    x1, y1 = p1
+    x2, y2 = p2
+    if x1 == x2 and y1 == y2:
+        return _ec_double(p1)
+    m = (y2 - y1) / (x2 - x1)
+    nx = m * m - x1 - x2
+    return (nx, m * (x1 - nx) - y1)
+
+
+def pairing(q_g2, p_g1) -> FQ12:
+    """e(P, Q) for P in G1 (affine ints or None), Q in G2 (FQ2 affine)."""
+    if p_g1 is None or q_g2 is None:
+        return FQ12.one()
+    return _miller_loop(_twist(q_g2), _cast_g1(p_g1))
+
+
+def pairing_check(pairs) -> bool:
+    """prod e(P_i, Q_i) == 1 for [(p_g1, q_g2), ...]."""
+    acc = FQ12.one()
+    for p_g1, q_g2 in pairs:
+        acc = acc * pairing(q_g2, p_g1)
+    return acc == FQ12.one()

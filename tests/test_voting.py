@@ -1,0 +1,170 @@
+"""End-to-end election: the reference's final-checkpoint integration scope
+(final-checkpoint-integration.test.ts) on real crypto.
+
+Fast tests run with enable_zk=False (tally/threshold/audit/fraud paths);
+one slower test exercises the full Bulletproofs ballot-validity flow.
+"""
+import json
+
+import numpy as np
+import pytest
+
+from node_fhe_accelerate_tpu.api.voting import VotingSystem, ElectionState
+from node_fhe_accelerate_tpu.api.tally import TallyStreamManager, \
+    TallyEventType, TallyMessageAdapter
+
+
+@pytest.fixture(scope="module")
+def election():
+    vs = VotingSystem("e2024", num_candidates=3, threshold=(3, 5),
+                      enable_zk=False)
+    for i in range(6):
+        vs.register_voter(f"voter-{i}")
+    vs.start_election()
+    votes = [0, 1, 2, 1, 1, 0]
+    for i, v in enumerate(votes):
+        vs.submit_ballot(f"voter-{i}", v)
+    return vs, votes
+
+
+class TestElection:
+    def test_tally_decrypts_correctly(self, election):
+        vs, votes = election
+        vs.end_election()
+        counts = vs.decrypt_tally([1, 3, 5])
+        want = [votes.count(c) for c in range(3)]
+        assert [int(c) for c in counts] == want
+        assert vs.state == ElectionState.DECRYPTED
+
+    def test_insufficient_officials_rejected(self, election):
+        vs, votes = election
+        with pytest.raises(ValueError, match="not enough"):
+            # state already DECRYPTED; rebuild a fresh system quickly
+            vs2 = VotingSystem("e2", 2, threshold=(3, 5), enable_zk=False)
+            vs2.register_voter("a")
+            vs2.register_voter("b")
+            vs2.start_election()
+            vs2.submit_ballot("a", 0)
+            vs2.end_election()
+            vs2.decrypt_tally([1, 2])  # only 2 of 3 required shares
+
+    def test_double_vote_rejected(self, election):
+        vs, _ = election
+        with pytest.raises(ValueError, match="nullifier"):
+            vs.submit_ballot("voter-0", 1)
+
+    def test_unregistered_voter_rejected(self, election):
+        vs, _ = election
+        with pytest.raises(ValueError, match="not registered|not active"):
+            vs.submit_ballot("stranger", 0)
+
+    def test_audit_trail_integrity(self, election):
+        vs, _ = election
+        raw = vs.export_audit_trail()
+        entries = json.loads(raw)
+        assert any(e["operation"] == "ballot_submitted" for e in entries)
+        ok, bad = vs.audit.verify_integrity()
+        assert ok, bad
+
+    def test_fraud_checks_clean_election(self, election):
+        vs, _ = election
+        alerts = vs.run_fraud_checks()
+        assert alerts == []
+
+
+def test_full_zk_ballot_flow():
+    """One ballot with a real Bulletproofs validity proof."""
+    VotingSystem.RANGE_BITS = 4
+    try:
+        vs = VotingSystem("ezk", 2, threshold=(2, 3), enable_zk=True)
+        vs.register_voter("alice")
+        vs.start_election()
+        b = vs.submit_ballot("alice", 1)
+        assert vs.verify_ballot(b)
+        # tamper
+        b.validity_proof.t_hat = (b.validity_proof.t_hat + 1) % (1 << 200)
+        assert not vs.verify_ballot(b)
+    finally:
+        VotingSystem.RANGE_BITS = 8
+
+
+class TestTallyStreaming:
+    def test_events_and_adapter(self):
+        from node_fhe_accelerate_tpu.core.params import ParameterSet, FHEScheme
+        # small engine for speed
+        small = ParameterSet(scheme=FHEScheme.TFHE, poly_degree=256,
+                             moduli=[7681], lwe_dimension=64,
+                             lwe_noise_std=3.2e-11, glwe_dimension=1,
+                             decomp_base_log=7, decomp_level=2,
+                             plaintext_modulus=16)
+        from node_fhe_accelerate_tpu.api.engine import FHEEngine
+        engine = FHEEngine(small)
+        sk = engine.generate_secret_key()
+        pk = engine.generate_public_key(sk)
+
+        mgr = TallyStreamManager(engine.engine)
+        events = []
+        mgr.subscribe(lambda ev: events.append(ev.type))
+        sent = []
+        adapter = TallyMessageAdapter(mgr, sent.append)
+
+        mgr.start_election("e1")
+        adapter.handle_message(json.dumps({"action": "subscribe",
+                                           "electionId": "e1"}))
+        for v in [1, 2, 3]:
+            mgr.process_ballot("e1", engine.encrypt_value(v, pk))
+        adapter.handle_message(json.dumps({"action": "get_tally",
+                                           "electionId": "e1"}))
+        tally_ct = mgr.end_election("e1")
+
+        assert TallyEventType.ELECTION_STARTED in events
+        assert events.count(TallyEventType.BALLOT_RECEIVED) == 3
+        assert events.count(TallyEventType.TALLY_UPDATED) == 3
+        assert TallyEventType.ELECTION_ENDED in events
+        msg = json.loads(sent[-1])
+        assert msg["type"] == "tally" and msg["count"] == 3
+        assert engine.decrypt_value(tally_ct, sk) == 6 % 16
+        # bad messages produce error responses
+        adapter.handle_message("not json")
+        assert json.loads(sent[-1])["type"] == "error"
+
+
+class TestEngineSurface:
+    @pytest.fixture(scope="class")
+    def eng(self):
+        from node_fhe_accelerate_tpu.core.params import ParameterSet, FHEScheme
+        from node_fhe_accelerate_tpu.api.engine import FHEEngine
+        small = ParameterSet(scheme=FHEScheme.TFHE, poly_degree=256,
+                             moduli=[7681], lwe_dimension=64,
+                             lwe_noise_std=3.2e-11, glwe_dimension=1,
+                             decomp_base_log=7, decomp_level=2,
+                             plaintext_modulus=16)
+        return FHEEngine(small)
+
+    def test_key_and_ct_serialization_round_trip(self, eng):
+        sk = eng.generate_secret_key()
+        pk = eng.generate_public_key(sk)
+        sk2 = eng.deserialize_secret_key(eng.serialize_secret_key(sk))
+        pk2 = eng.deserialize_public_key(eng.serialize_public_key(pk))
+        ct = eng.encrypt_value(9, pk2)
+        ct2 = eng.deserialize_ciphertext(eng.serialize_ciphertext(ct))
+        assert eng.decrypt_value(ct2, sk2) == 9
+
+    def test_scalar_plain_square_ops(self, eng):
+        sk = eng.generate_secret_key()
+        pk = eng.generate_public_key(sk)
+        rlk = eng.generate_eval_key(sk)
+        ct = eng.encrypt_value(3, pk)
+        assert eng.decrypt_value(eng.add_scalar(ct, 4), sk) == 7
+        sq = eng.square_relin(ct, rlk)
+        # phase is Delta^2*9; decode at Delta^2 via direct phase check
+        assert not sq.is_degree_2
+        assert eng.get_noise_budget(ct, sk) > 0
+
+    def test_hardware_capabilities(self, eng):
+        caps = eng.get_hardware_capabilities()
+        assert caps.device_count >= 1
+
+    def test_security_validation_flags_small_params(self, eng):
+        res = eng.validate_security()
+        assert not res.is_secure  # N=256 is test-sized
