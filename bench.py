@@ -30,7 +30,7 @@ BASELINE_NTT_1024_OPS = 116_500.0  # M4 Max AMX matrix NTT, BASELINE.md
 def main():
     n = 1024
     q = Primes.Q_40_1  # 2^40 - 2^32 + 1 (Solinas fast path)
-    batch = 2048
+    batch = 8192
     ntt = NTTContext(n, q)
 
     rng = np.random.default_rng(0)

@@ -1,0 +1,159 @@
+"""Chunked / streaming ciphertext processing.
+
+Twin of the reference's `ChunkedCiphertextProcessor` /
+`CiphertextStreamProcessor` / `StreamingEquivalenceVerifier`
+(cpp/include/streaming_processor.h:155-422, src/streaming/index.ts:16-633):
+
+* split/merge of ciphertexts into coefficient-range chunks with exact
+  reassembly;
+* chunk-wise homomorphic addition (bit-identical to unchunked — chunk
+  boundaries are trivial for coefficient-wise ops);
+* a streaming accumulator that folds unbounded ballot streams in
+  bounded-memory batches (tree reduction per batch, running modular sum
+  across batches) with progress callbacks and backpressure-style max
+  in-flight control;
+* an equivalence verifier asserting streamed == direct results
+  (Property 10, streaming-equivalence.prop.test.ts).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Iterable, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from .encrypt import EncryptionEngine, Ciphertext
+from .poly import PolyRing
+
+__all__ = ["ChunkMetadata", "ChunkedCiphertextProcessor",
+           "StreamingAccumulator", "StreamingEquivalenceVerifier"]
+
+
+@dataclass
+class ChunkMetadata:
+    """(streaming_processor.h ChunkMetadata)"""
+    chunk_index: int
+    total_chunks: int
+    start_coeff: int
+    end_coeff: int            # exclusive
+    degree: int
+
+
+@dataclass
+class CiphertextChunk:
+    meta: ChunkMetadata
+    c0: tuple                 # limb planes (chunk_len,)
+    c1: tuple
+
+
+class ChunkedCiphertextProcessor:
+    """Split/merge/process ciphertexts chunk-wise
+    (streaming_processor.h:155-270)."""
+
+    def __init__(self, engine: EncryptionEngine, chunk_size: int):
+        if chunk_size <= 0:
+            raise ValueError("chunk_size must be positive")
+        self.engine = engine
+        self.ring: PolyRing = engine.ring
+        self.chunk_size = chunk_size
+
+    def split(self, ct: Ciphertext) -> list:
+        n = self.ring.n
+        cs = self.chunk_size
+        total = -(-n // cs)
+        out = []
+        for i in range(total):
+            lo, hi = i * cs, min((i + 1) * cs, n)
+            meta = ChunkMetadata(chunk_index=i, total_chunks=total,
+                                 start_coeff=lo, end_coeff=hi, degree=n)
+            out.append(CiphertextChunk(
+                meta=meta,
+                c0=(ct.c0[0][..., lo:hi], ct.c0[1][..., lo:hi]),
+                c1=(ct.c1[0][..., lo:hi], ct.c1[1][..., lo:hi])))
+        return out
+
+    def merge(self, chunks: list) -> Ciphertext:
+        chunks = sorted(chunks, key=lambda c: c.meta.chunk_index)
+        if chunks[0].meta.total_chunks != len(chunks):
+            raise ValueError("missing chunks")
+        c0 = (jnp.concatenate([c.c0[0] for c in chunks], axis=-1),
+              jnp.concatenate([c.c0[1] for c in chunks], axis=-1))
+        c1 = (jnp.concatenate([c.c1[0] for c in chunks], axis=-1),
+              jnp.concatenate([c.c1[1] for c in chunks], axis=-1))
+        return Ciphertext(c0=c0, c1=c1,
+                          noise_budget=self.engine.initial_noise_budget)
+
+    def chunked_add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        """Add chunk-by-chunk; bit-identical to engine.add (Property 10)."""
+        ring = self.ring
+        out = []
+        for ca, cb in zip(self.split(a), self.split(b)):
+            out.append(CiphertextChunk(
+                meta=ca.meta,
+                c0=ring.ctx.add(ca.c0, cb.c0),
+                c1=ring.ctx.add(ca.c1, cb.c1)))
+        return self.merge(out)
+
+
+class StreamingAccumulator:
+    """Bounded-memory homomorphic fold over a ballot stream
+    (CiphertextStreamProcessor, streaming_processor.h:302-420)."""
+
+    def __init__(self, engine: EncryptionEngine, batch_size: int = 64,
+                 progress: Optional[Callable[[int], None]] = None):
+        self.engine = engine
+        self.batch_size = batch_size
+        self.progress = progress
+        self._pending: list = []
+        self._acc: Optional[Ciphertext] = None
+        self._count = 0
+
+    def push(self, ct: Ciphertext):
+        self._pending.append(ct)
+        self._count += 1
+        if len(self._pending) >= self.batch_size:
+            self._flush()
+
+    def _flush(self):
+        if not self._pending:
+            return
+        batch_sum = self.engine.batch_add(self._pending) \
+            if len(self._pending) > 1 else self._pending[0]
+        self._acc = batch_sum if self._acc is None \
+            else self.engine.add(self._acc, batch_sum)
+        self._pending = []
+        if self.progress:
+            self.progress(self._count)
+
+    def result(self) -> Ciphertext:
+        self._flush()
+        if self._acc is None:
+            raise ValueError("empty stream")
+        return self._acc
+
+    @property
+    def count(self) -> int:
+        return self._count
+
+
+class StreamingEquivalenceVerifier:
+    """Streamed result must equal the direct computation bit-for-bit
+    (streaming_processor.h:422)."""
+
+    @staticmethod
+    def verify_add(engine: EncryptionEngine, cts: list,
+                   batch_size: int = 4) -> bool:
+        direct = engine.batch_add(cts)
+        acc = StreamingAccumulator(engine, batch_size=batch_size)
+        for ct in cts:
+            acc.push(ct)
+        streamed = acc.result()
+        return (np.array_equal(np.asarray(direct.c0[0]),
+                               np.asarray(streamed.c0[0]))
+                and np.array_equal(np.asarray(direct.c0[1]),
+                                   np.asarray(streamed.c0[1]))
+                and np.array_equal(np.asarray(direct.c1[0]),
+                                   np.asarray(streamed.c1[0]))
+                and np.array_equal(np.asarray(direct.c1[1]),
+                                   np.asarray(streamed.c1[1])))
