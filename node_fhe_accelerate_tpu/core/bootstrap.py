@@ -108,9 +108,13 @@ class TfheEngine:
         self.ring = TorusRing(params.poly_degree)
         self.t = params.plaintext_modulus
         self.delta = (1 << 32) // self.t
-        # jitted entry points
+        # jitted entry points (eager op-by-op dispatch on the remote-compile
+        # TPU path is pathologically slow; everything heavy goes through jit)
         self.bootstrap_jit = jax.jit(self.bootstrap_with_test_poly)
         self.blind_rotate_jit = jax.jit(self.blind_rotate)
+        self.generate_bootstrap_key = jax.jit(self._generate_bsk_impl)
+        self.lwe_encrypt = jax.jit(self._lwe_encrypt_impl,
+                                   static_argnames=("noise_std",))
 
     # ------------------------------------------------------------------
     # Encoding
@@ -131,7 +135,7 @@ class TfheEngine:
         """Binary LWE secret (bootstrap_engine.cpp generate via sample_binary)."""
         return jax.random.bernoulli(key, 0.5, (self.p.n_lwe,)).astype(jnp.uint32)
 
-    def lwe_encrypt(self, key, m, sk, noise_std: float | None = None):
+    def _lwe_encrypt_impl(self, key, m, sk, noise_std: float | None = None):
         """b = <a, s> + e + encode(m); batch shape taken from m."""
         m = jnp.asarray(m, jnp.uint32)
         batch = m.shape
@@ -208,7 +212,7 @@ class TfheEngine:
     # ------------------------------------------------------------------
     # GGSW / bootstrap key generation
     # ------------------------------------------------------------------
-    def generate_bootstrap_key(self, key, lwe_sk, glwe_sk) -> BootstrapKey:
+    def _generate_bsk_impl(self, key, lwe_sk, glwe_sk) -> BootstrapKey:
         """GGSW(s_i) per LWE bit + key-switch key, BSK stored in NTT domain.
 
         GGSW(v) rows (j, l): GLWE(0) + v * g_l * E_j with g_l =
@@ -394,7 +398,14 @@ class TfheEngine:
         inputs = ((i * t + N) // (2 * N)) % t
         outs = np.array([int(func(int(v))) % t_out for v in inputs],
                         dtype=np.uint64)
-        return jnp.asarray((outs * delta_out) % (1 << 32), dtype=jnp.uint32)
+        coeffs = (outs * delta_out) % (1 << 32)
+        # The tail half-window [N - N/t, N) serves message 0's negative-noise
+        # edge through the negacyclic wrap (rotation -j reads -v_{N-j}), so
+        # it must hold -f(0), not f(t/2).
+        half_win = N // t
+        f0 = int(func(0)) % t_out
+        coeffs[N - half_win:] = (-f0 * delta_out) % (1 << 32)
+        return jnp.asarray(coeffs, dtype=jnp.uint32)
 
     def bootstrap_with_test_poly(self, lwe: LweCiphertext, bsk: BootstrapKey,
                                  test_poly):
@@ -416,3 +427,45 @@ class TfheEngine:
                                lut):
         """PBS (programmable_bootstrap, bootstrap_engine.cpp:717-722)."""
         return self.bootstrap_with_test_poly(lwe, bsk, lut)
+
+    # ------------------------------------------------------------------
+    # Encrypted comparisons (encryption.h:715-813 — placeholders in the
+    # reference; real PBS evaluations here).  Message domain: [0, t/2)
+    # (the negacyclic half-torus window); results encode 0/1 at Delta.
+    # ------------------------------------------------------------------
+    def lwe_is_zero(self, lwe: LweCiphertext, bsk: BootstrapKey
+                    ) -> LweCiphertext:
+        """PBS of [x == 0] (for x in [0, t/2))."""
+        lut = self.make_lut(lambda v: 1 if v == 0 else 0)
+        return self.programmable_bootstrap(lwe, bsk, lut)
+
+    def lwe_eq(self, a: LweCiphertext, b: LweCiphertext, bsk: BootstrapKey
+               ) -> LweCiphertext:
+        """Encrypted equality: PBS([a - b == 0]).
+
+        a - b lies in (-t/2, t/2); the identity-window LUT maps the
+        negative wrap (phase in the upper half) through the negacyclic
+        negation, so the LUT tests 0 exactly when a == b provided
+        |a - b| < t/2 — the same domain restriction as the reference's
+        intended compare_equal (fraud_detector.cpp:99)."""
+        return self.lwe_is_zero(self.lwe_sub(a, b), bsk)
+
+    def lwe_gt_threshold(self, lwe: LweCiphertext, threshold: int,
+                         bsk: BootstrapKey) -> LweCiphertext:
+        """PBS of [x >= threshold] (x in [0, t/2)) — check_threshold
+        (encryption.h:693)."""
+        lut = self.make_lut(lambda v: 1 if v >= threshold else 0)
+        return self.programmable_bootstrap(lwe, bsk, lut)
+
+    def detect_duplicate(self, new_lwe: LweCiphertext, existing: list,
+                         bsk: BootstrapKey) -> LweCiphertext:
+        """OR of encrypted equalities against existing ballots
+        (encryption.h detect_duplicate): sum of eq bits, then [sum >= 1]."""
+        if not existing:
+            z = jnp.zeros_like(new_lwe.a), jnp.zeros_like(new_lwe.b)
+            return LweCiphertext(a=z[0], b=z[1])
+        acc = None
+        for ct in existing:
+            bit = self.lwe_eq(new_lwe, ct, bsk)
+            acc = bit if acc is None else self.lwe_add(acc, bit)
+        return self.lwe_gt_threshold(acc, 1, bsk)

@@ -285,6 +285,28 @@ class EncryptionEngine:
     def multiply_relin(self, a, b, rlk: RelinKey) -> Ciphertext:
         return self.relinearize(self.multiply(a, b), rlk)
 
+    # -- voting primitives (encryption.h:613-693) ---------------------------
+    def tally_votes(self, ballots: list) -> Ciphertext:
+        """Homomorphic tally of one-hot ballots (tally_votes)."""
+        return self.batch_add(ballots)
+
+    def tally_weighted(self, ballots: list, weights: list) -> Ciphertext:
+        """sum w_i * ballot_i (tally_weighted_votes)."""
+        if len(ballots) != len(weights):
+            raise ValueError("weights must match ballots")
+        scaled = [self.multiply_scalar(b, w) for b, w in zip(ballots, weights)]
+        return self.batch_add(scaled)
+
+    def tally_multi_candidate(self, ballots: list) -> Ciphertext:
+        """Per-slot counts for packed one-hot ballots (coefficient slots
+        carry candidates — tally_multi_candidate)."""
+        return self.batch_add(ballots)
+
+    def update_tally(self, tally: Ciphertext, ballot: Ciphertext
+                     ) -> Ciphertext:
+        """Incremental tally update (update_tally)."""
+        return self.add(tally, ballot)
+
     # -- batch reductions ---------------------------------------------------
     def batch_add(self, cts: list) -> Ciphertext:
         """Tree reduction (batch_add_tree, encryption.cpp:1366-1460).

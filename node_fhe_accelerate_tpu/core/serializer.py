@@ -137,8 +137,19 @@ def serialize_polynomial(coeffs: np.ndarray, magic: Magic, *, key_id=0,
                          key_type=0, modulus=0,
                          compression=CompressionType.NONE,
                          checksum_type=ChecksumType.CRC32) -> bytes:
+    """When a modulus is given, coefficients are bit-packed to
+    ceil(log2 q) bits by the native codec (node_fhe_accelerate_tpu/native)
+    — a 41-bit modulus stores 1.56x smaller than raw u64, serving the
+    reference's <10KB ballot budget (key_serializer.h:392)."""
     c = np.ascontiguousarray(np.asarray(coeffs, dtype="<u8"))
-    return serialize_blob(magic, c.tobytes(), key_id=key_id,
+    if modulus > 1:
+        from .. import native
+
+        bits = max(1, (modulus - 1).bit_length())
+        payload = native.pack_words(c.reshape(-1), bits)
+    else:
+        payload = c.tobytes()
+    return serialize_blob(magic, payload, key_id=key_id,
                           key_type=key_type, poly_degree=c.shape[-1],
                           modulus=modulus, compression=compression,
                           checksum_type=checksum_type)
@@ -147,9 +158,18 @@ def serialize_polynomial(coeffs: np.ndarray, magic: Magic, *, key_id=0,
 def deserialize_polynomial(raw: bytes, expected_magic: Magic
                            ) -> tuple[SerializationHeader, np.ndarray]:
     hdr, payload = deserialize_blob(raw, expected_magic)
-    coeffs = np.frombuffer(payload, dtype="<u8")
-    if hdr.poly_degree and coeffs.size % hdr.poly_degree == 0:
-        coeffs = coeffs.reshape(-1, hdr.poly_degree)
+    if hdr.modulus > 1:
+        from .. import native
+
+        bits = max(1, (hdr.modulus - 1).bit_length())
+        n = len(payload) * 8 // bits
+        coeffs = native.unpack_words(payload, n, bits)
+    else:
+        coeffs = np.frombuffer(payload, dtype="<u8")
+    if hdr.poly_degree:
+        # drop phantom words introduced by bit-padding
+        usable = (coeffs.size // hdr.poly_degree) * hdr.poly_degree
+        coeffs = coeffs[:usable].reshape(-1, hdr.poly_degree)
         if coeffs.shape[0] == 1:
             coeffs = coeffs[0]
     return hdr, coeffs
