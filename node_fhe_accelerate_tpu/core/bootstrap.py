@@ -76,12 +76,11 @@ class GlweCiphertext:
 
 @dataclass
 class BootstrapKey:
-    """GGSW(s_i) per LWE key bit, NTT-resident per CRT prime, plus the
-    LWE key-switch key (bootstrap_engine.h:105-125, ksk gen
-    bootstrap_engine.cpp:308-429)."""
-    # ggsw_p{1,2}: (lo, hi) planes, shape (n, k+1, level, k+1, N)
-    ggsw_p1: Any
-    ggsw_p2: Any
+    """GGSW(s_i) per LWE key bit, NTT-resident in Montgomery form over the
+    single external-product prime P_EXT, plus the LWE key-switch key
+    (bootstrap_engine.h:105-125, ksk gen bootstrap_engine.cpp:308-429)."""
+    # ggsw_ext: (lo, hi) planes, shape (n, k+1, level, k+1, N)
+    ggsw_ext: Any
     ksk_a: Any        # uint32 (kN, ks_level, n)
     ksk_b: Any        # uint32 (kN, ks_level)
     params: TfheParams
@@ -89,7 +88,7 @@ class BootstrapKey:
 
 for _cls, _fields in ((LweCiphertext, ("a", "b")),
                       (GlweCiphertext, ("data",)),
-                      (BootstrapKey, ("ggsw_p1", "ggsw_p2", "ksk_a", "ksk_b"))):
+                      (BootstrapKey, ("ggsw_ext", "ksk_a", "ksk_b"))):
     jax.tree_util.register_pytree_node(
         _cls,
         (lambda fields: lambda x: (
@@ -112,6 +111,11 @@ class TfheEngine:
         # TPU path is pathologically slow; everything heavy goes through jit)
         self.bootstrap_jit = jax.jit(self.bootstrap_with_test_poly)
         self.blind_rotate_jit = jax.jit(self.blind_rotate)
+        terms = (params.glwe_dim + 1) * params.pbs_level
+        if not self.ring.ext_bound_ok(params.pbs_base_log, terms):
+            raise ValueError(
+                "pbs_base_log/level too large for the single-prime external "
+                "product (P_EXT); reduce base_log or extend TorusRing to CRT")
         self.generate_bootstrap_key = jax.jit(self._generate_bsk_impl)
         self.lwe_encrypt = jax.jit(self._lwe_encrypt_impl,
                                    static_argnames=("noise_std",))
@@ -243,11 +247,8 @@ class TfheEngine:
         # rows: list of (n, k+1, N) -> (n, k+1, lvl, k+1, N)
         ggsw = jnp.stack(rows, axis=1).reshape(n, k + 1, lvl, k + 1, N)
 
-        # NTT-resident forms per CRT prime
-        ggsw_p1 = self.ring.ntt1.forward(
-            self.ring._to_planes_centered(ggsw, self.ring.ntt1))
-        ggsw_p2 = self.ring.ntt2.forward(
-            self.ring._to_planes_centered(ggsw, self.ring.ntt2))
+        # NTT-resident Montgomery form over the external-product prime
+        ggsw_ext = self.ring.forward_ext_mont(ggsw)
 
         # --- key-switch key: from extracted key (kN) to lwe_sk (n)
         # s_in[p] = glwe_sk[i, p mod N] flattened; KSK[p, l] = LWE(s_in * gk_l)
@@ -263,50 +264,44 @@ class TfheEngine:
                             lwe_sk.astype(jnp.int32),
                             preferred_element_type=jnp.int32).astype(jnp.uint32)
                  + e + s_in[:, None] * g_vec[None, :])
-        return BootstrapKey(ggsw_p1=ggsw_p1, ggsw_p2=ggsw_p2,
+        return BootstrapKey(ggsw_ext=ggsw_ext,
                             ksk_a=ksk_a, ksk_b=ksk_b, params=p)
 
     # ------------------------------------------------------------------
     # External product / CMux
     # ------------------------------------------------------------------
-    def external_product(self, ggsw_row_p1, ggsw_row_p2, glwe_data):
+    def external_product(self, ggsw_row_ext, glwe_data):
         """GGSW (x) GLWE (external_product, bootstrap_engine.cpp:431-518).
 
-        ggsw_row_p*: planes (k+1, lvl, k+1, N) for ONE LWE bit.
+        ggsw_row_ext: Montgomery NTT planes (k+1, lvl, k+1, N) for ONE LWE
+        bit over the single external-product prime (digit x torus products
+        fit P_EXT — half the transforms of the general CRT multiply).
         glwe_data: uint32 (..., k+1, N).
-        Decompose -> NTT once per (component, level) -> contract against the
-        NTT-resident GGSW -> single inverse NTT + CRT per output component.
         """
         p = self.p
         k, lvl = p.glwe_dim, p.pbs_level
         ring = self.ring
         # digits: (lvl, ..., k+1, N) signed
         digits = ring.decompose(glwe_data, p.pbs_base_log, lvl)
-        # NTT of digits per prime: treat (lvl, ..., k+1, N) at once
-        d1 = ring.ntt1.forward(ring._digits_to_planes(digits, ring.ntt1))
-        d2 = ring.ntt2.forward(ring._digits_to_planes(digits, ring.ntt2))
+        d_hat = ring.forward_digits_ext(digits)
 
-        ctx1, ctx2 = ring.ntt1.ctx, ring.ntt2.ctx
         out = []
         for jp in range(k + 1):       # output component
-            acc1 = acc2 = None
+            pairs = []
             for j in range(k + 1):    # input component
                 for l in range(lvl):
-                    dj1 = (d1[0][l, ..., j, :], d1[1][l, ..., j, :])
-                    dj2 = (d2[0][l, ..., j, :], d2[1][l, ..., j, :])
-                    g1 = (ggsw_row_p1[0][j, l, jp], ggsw_row_p1[1][j, l, jp])
-                    g2 = (ggsw_row_p2[0][j, l, jp], ggsw_row_p2[1][j, l, jp])
-                    t1 = ctx1.mul(dj1, g1)
-                    t2 = ctx2.mul(dj2, g2)
-                    acc1 = t1 if acc1 is None else ctx1.add(acc1, t1)
-                    acc2 = t2 if acc2 is None else ctx2.add(acc2, t2)
-            out.append(ring.inverse((acc1, acc2)))
+                    dj = (d_hat[0][l, ..., j, :], d_hat[1][l, ..., j, :])
+                    g = (ggsw_row_ext[0][j, l, jp],
+                         ggsw_row_ext[1][j, l, jp])
+                    pairs.append((dj, g))
+            acc = ring.pointwise_acc_ext(pairs)
+            out.append(ring.inverse_ext_to_torus(acc))
         return jnp.stack(out, axis=-2)
 
-    def cmux(self, ggsw_p1, ggsw_p2, ct0_data, ct1_data):
+    def cmux(self, ggsw_ext, ct0_data, ct1_data):
         """ct0 + GGSW (x) (ct1 - ct0) (cmux, bootstrap_engine.cpp:520-540)."""
         diff = ct1_data - ct0_data
-        return ct0_data + self.external_product(ggsw_p1, ggsw_p2, diff)
+        return ct0_data + self.external_product(ggsw_ext, diff)
 
     # ------------------------------------------------------------------
     # Blind rotate / sample extract / key switch
@@ -329,13 +324,12 @@ class TfheEngine:
         a_rots = jnp.moveaxis(a_rots, -1, 0)      # (n, ...)
 
         def step(acc, inp):
-            g1_lo, g1_hi, g2_lo, g2_hi, rot = inp
+            g_lo, g_hi, rot = inp
             rotated = ring.rotate(acc, rot[..., None])
-            new = self.cmux((g1_lo, g1_hi), (g2_lo, g2_hi), acc, rotated)
+            new = self.cmux((g_lo, g_hi), acc, rotated)
             return new, None
 
-        xs = (bsk.ggsw_p1[0], bsk.ggsw_p1[1],
-              bsk.ggsw_p2[0], bsk.ggsw_p2[1], a_rots)
+        xs = (bsk.ggsw_ext[0], bsk.ggsw_ext[1], a_rots)
         acc, _ = jax.lax.scan(step, acc, xs)
         return acc
 

@@ -28,10 +28,11 @@ from ..ops.u64 import (
     U32, u64_from_int, u64_mul_wide, u128_add, u64_to_np,
 )
 
-__all__ = ["TorusRing", "P1", "P2"]
+__all__ = ["TorusRing", "P1", "P2", "P_EXT"]
 
 P1 = (1 << 40) - (1 << 32) + 1   # two-adicity 32
 P2 = (1 << 37) - (1 << 17) + 1   # two-adicity 17
+P_EXT = (1 << 54) - (1 << 24) + 1  # single-prime external-product modulus
 
 
 class TorusRing:
@@ -49,6 +50,9 @@ class TorusRing:
         self.m_half = (P1 * P2) // 2
         self.p1p2_mod_2_32 = (P1 * P2) % (1 << 32)
         self.p1_mod_2_32 = P1 % (1 << 32)
+        # Built eagerly: twiddle tables created inside a jit trace would be
+        # tracers and leak across traces.
+        self.ntt_ext = NTTContext(degree, P_EXT)
 
     # -- basic ops (native wraparound) --------------------------------------
     @staticmethod
@@ -63,23 +67,37 @@ class TorusRing:
     def neg(a):
         return jnp.uint32(0) - a
 
+    @staticmethod
+    def _roll_neg(a, s: int):
+        """Static negacyclic roll: X^s * a for compile-time s in [0, N)."""
+        if s == 0:
+            return a
+        head = jnp.uint32(0) - a[..., -s:]   # wrapped coefficients negate
+        return jnp.concatenate([head, a[..., :-s]], axis=-1)
+
     def rotate(self, a, r):
         """X^r * a mod (X^N + 1) for traced r (int32, any value; mod 2N).
 
-        out[j] = sign * a[(j - r) mod N], sign = -1 iff ((j - r) mod 2N) >= N.
-        r must be broadcastable against a.shape[:-1] (callers add size-1 axes
-        for component dims); gather along the last axis.
+        Binary ladder of STATIC negacyclic rolls selected per element by the
+        bits of r — log2(2N) slice+concat+select sweeps.  This replaces a
+        take_along_axis gather which dominates blind-rotate time on TPU
+        (per-element gathers are slow; static rolls are bandwidth-speed).
+        r must be broadcastable against a.shape[:-1].
         """
         n = self.n
-        j = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-        r = jnp.asarray(r, jnp.int32)
-        src = (j - r[..., None]) % (2 * n)          # (..., N)
-        flip = src >= n
-        idx = jnp.where(flip, src - n, src)
-        idx_b = jnp.broadcast_to(idx, a.shape)
-        vals = jnp.take_along_axis(a, idx_b, axis=-1)
-        return jnp.where(jnp.broadcast_to(flip, a.shape),
-                         jnp.uint32(0) - vals, vals)
+        r = jnp.asarray(r, jnp.int32) % (2 * n)
+        out = a
+        # bit log2(n) (value n): X^n = -1 -> negate
+        for i in range(self.logn + 1):
+            s = 1 << i
+            bit = ((r >> i) & 1) == 1
+            if s < n:
+                rolled = self._roll_neg(out, s)
+            else:                       # s == n: X^n * a = -a
+                rolled = jnp.uint32(0) - out
+            out = jnp.where(jnp.broadcast_to(bit[..., None], out.shape),
+                            rolled, out)
+        return out
 
     # -- signed gadget decomposition ----------------------------------------
     def decompose(self, a, base_log: int, level: int):
@@ -212,3 +230,51 @@ class TorusRing:
         fa = self.forward_digits(a_digits)
         fb = self.forward(b)
         return self.inverse(self.pointwise_acc([(fa, fb)]))
+
+    # ------------------------------------------------------------------
+    # Single-prime fast path for small x torus products (external product)
+    # ------------------------------------------------------------------
+    # The hot TFHE loop multiplies SIGNED DIGIT polynomials (|d| <= B/2)
+    # against torus polynomials: centered product coefficients are bounded
+    # by N * (B/2) * 2^31, which fits ONE 50-bit prime — half the
+    # transforms and no CRT recombination vs the general torus multiply.
+
+    def ext_bound_ok(self, base_log: int, terms: int = 1) -> bool:
+        """Can the single-prime path hold `terms` accumulated products?
+        Centered coefficients satisfy |sum| <= terms * N * (B/2) * 2^31,
+        which must stay below P_EXT / 2."""
+        bound = terms * self.n * (1 << (base_log - 1)) * (1 << 31)
+        return 2 * bound < P_EXT
+
+    def forward_ext_mont(self, a):
+        """Torus u32 -> centered mod P_EXT, scaled by R (Montgomery form),
+        NTT'd.  Used once at keygen for the BSK; pointwise mont_mul against
+        these gives standard-domain products."""
+        ntt = self.ntt_ext
+        ctx = ntt.ctx
+        planes = self._to_planes_centered(a, ntt)
+        scaled = ctx.mul(planes, u64_from_int(ctx.r_mod_q))
+        return ntt.forward(scaled)
+
+    def forward_digits_ext(self, d):
+        """Signed int32 digits -> NTT mod P_EXT (standard domain)."""
+        return self.ntt_ext.forward(self._digits_to_planes(d, self.ntt_ext))
+
+    def pointwise_acc_ext(self, pairs):
+        """Sum of mont_mul(d_hat, g_mont) in the NTT domain mod P_EXT."""
+        ctx = self.ntt_ext.ctx
+        acc = None
+        for d_hat, g_mont in pairs:
+            t = ctx.mont_mul(d_hat, g_mont)
+            acc = t if acc is None else ctx.add(acc, t)
+        return acc
+
+    def inverse_ext_to_torus(self, acc):
+        """Inverse NTT mod P_EXT + centered reduction to torus u32."""
+        r = self.ntt_ext.inverse(acc)
+        half = P_EXT // 2
+        h_lo = np.uint32(half & 0xFFFFFFFF)
+        h_hi = np.uint32(half >> 32)
+        p_lo = np.uint32(P_EXT & 0xFFFFFFFF)
+        neg = (r[1] > h_hi) | ((r[1] == h_hi) & (r[0] > h_lo))
+        return r[0] - jnp.where(neg, p_lo, jnp.uint32(0))

@@ -145,9 +145,8 @@ def test_cmux_selects(boot_setup):
     c1 = jnp.zeros((p.glwe_dim + 1, N), jnp.uint32).at[p.glwe_dim].set(m1[0])
     sk_np = np.asarray(lwe_sk)
     for i in [0, 1, 2]:
-        g1 = (bsk.ggsw_p1[0][i], bsk.ggsw_p1[1][i])
-        g2 = (bsk.ggsw_p2[0][i], bsk.ggsw_p2[1][i])
-        out = eng.cmux(g1, g2, c0, c1)
+        g = (bsk.ggsw_ext[0][i], bsk.ggsw_ext[1][i])
+        out = eng.cmux(g, c0, c1)
         ph = eng.glwe_phase(GlweCiphertext(data=out), glwe_sk)
         got = np.asarray(ph)[0]
         want = (222 << 20) if sk_np[i] else (111 << 20)
