@@ -28,6 +28,16 @@ def election():
 
 
 class TestElection:
+    def test_double_vote_rejected(self, election):
+        vs, _ = election
+        with pytest.raises(ValueError, match="nullifier"):
+            vs.submit_ballot("voter-0", 1)
+
+    def test_unregistered_voter_rejected(self, election):
+        vs, _ = election
+        with pytest.raises(ValueError, match="not registered"):
+            vs.submit_ballot("stranger", 0)
+
     def test_tally_decrypts_correctly(self, election):
         vs, votes = election
         vs.end_election()
@@ -47,16 +57,6 @@ class TestElection:
             vs2.submit_ballot("a", 0)
             vs2.end_election()
             vs2.decrypt_tally([1, 2])  # only 2 of 3 required shares
-
-    def test_double_vote_rejected(self, election):
-        vs, _ = election
-        with pytest.raises(ValueError, match="nullifier"):
-            vs.submit_ballot("voter-0", 1)
-
-    def test_unregistered_voter_rejected(self, election):
-        vs, _ = election
-        with pytest.raises(ValueError, match="not registered|not active"):
-            vs.submit_ballot("stranger", 0)
 
     def test_audit_trail_integrity(self, election):
         vs, _ = election
@@ -115,14 +115,14 @@ class TestTallyStreaming:
             mgr.process_ballot("e1", engine.encrypt_value(v, pk))
         adapter.handle_message(json.dumps({"action": "get_tally",
                                            "electionId": "e1"}))
+        tally_msg = json.loads(sent[-1])
         tally_ct = mgr.end_election("e1")
 
         assert TallyEventType.ELECTION_STARTED in events
         assert events.count(TallyEventType.BALLOT_RECEIVED) == 3
         assert events.count(TallyEventType.TALLY_UPDATED) == 3
         assert TallyEventType.ELECTION_ENDED in events
-        msg = json.loads(sent[-1])
-        assert msg["type"] == "tally" and msg["count"] == 3
+        assert tally_msg["type"] == "tally" and tally_msg["count"] == 3
         assert engine.decrypt_value(tally_ct, sk) == 6 % 16
         # bad messages produce error responses
         adapter.handle_message("not json")
