@@ -18,6 +18,7 @@ real TPU-native implementations instead of the reference's simulated crypto:
 """
 from __future__ import annotations
 
+import secrets
 import time
 from dataclasses import dataclass, field
 from enum import Enum
@@ -116,9 +117,11 @@ class VotingSystem:
             raise ValueError("registration is closed")
         if voter_id in self._voters:
             raise ValueError(f"voter {voter_id!r} already registered")
-        secret = int.from_bytes(
-            np.random.default_rng(abs(hash(voter_id)) % (1 << 32)).bytes(31),
-            "little")
+        # OS CSPRNG: the eligibility secret must be unpredictable even to
+        # someone who knows voter_id (the reference accepts voter-supplied
+        # key material at registration, voting-example.ts:227; here the
+        # system generates it with real entropy and returns it to the voter).
+        secret = secrets.randbits(248)
         self._voters[voter_id] = secret
         self.audit.log(AuditOperation.VOTER_REGISTERED, AuditActor.VOTER,
                        voter_id)

@@ -80,17 +80,25 @@ class EncryptionEngine:
     """BFV-style RLWE engine over a single modulus (RNS chains: first prime,
     matching the reference which also computes on moduli[0] only)."""
 
-    def __init__(self, params: ParameterSet, ring: PolyRing | None = None):
+    def __init__(self, params: ParameterSet, ring: PolyRing | None = None,
+                 noise_std: float | None = None):
+        """`noise_std=None` (default) derives real encryption noise from the
+        parameter set (fraction-of-q scaled, >= 3.2 absolute — see
+        ParameterSet.noise_std_absolute).  Passing an explicit value —
+        including 0.0 — overrides it; zero noise is for exactness TESTS ONLY
+        and is cryptographically broken (ciphertexts are deterministic in
+        the secret)."""
         self.params = params
         self.ring = ring or PolyRing(params.poly_degree, params.moduli[0])
         self.q = self.ring.q
         self.t = params.plaintext_modulus if params.plaintext_modulus > 0 else 4
         self.delta = self.q // self.t  # Delta = floor(q/t), encryption.cpp:46
-        noise_std = params.lwe_noise_std if params.lwe_noise_std > 0 else 3.2
+        noise_std = (params.noise_std_absolute() if noise_std is None
+                     else noise_std)
         self._noise_std = noise_std
         # encryption.cpp:52-56
         self.initial_noise_budget = math.log2(self.q) - math.log2(
-            2.0 * noise_std * math.sqrt(params.poly_degree)
+            2.0 * max(noise_std, 1.0) * math.sqrt(params.poly_degree)
         )
 
     # -- encode / decode (host <-> device edge) -----------------------------

@@ -77,9 +77,15 @@ _register(RelinKey, ["a", "b"])
 class KeyManager:
     """Generates key material for a parameter set (key_manager.cpp)."""
 
-    def __init__(self, params: ParameterSet, ring: PolyRing | None = None):
+    def __init__(self, params: ParameterSet, ring: PolyRing | None = None,
+                 noise_std: float | None = None):
+        """`noise_std=None` derives real key noise from the parameter set
+        (see ParameterSet.noise_std_absolute); an explicit value — including
+        0.0 — overrides it for exactness TESTS ONLY (a noiseless public key
+        b = a*s leaks the secret key outright)."""
         self.params = params
         self.ring = ring or PolyRing(params.poly_degree, params.moduli[0])
+        self._noise_override = noise_std
 
     def generate_secret_key(
         self, key, distribution=SecretKeyDistribution.TERNARY, key_id: int = 0
@@ -88,7 +94,7 @@ class KeyManager:
         if distribution == SecretKeyDistribution.TERNARY:
             p = ring.sample_ternary(key)
         elif distribution == SecretKeyDistribution.GAUSSIAN:
-            p = ring.sample_gaussian(key, self.params.lwe_noise_std)
+            p = ring.sample_gaussian(key, self._noise_std())
         elif distribution == SecretKeyDistribution.BINARY:
             from ..ops.sampling import binary_planes
             p = binary_planes(key, (ring.n,))
@@ -132,5 +138,6 @@ class KeyManager:
                         decomp_level=levels, key_id=sk.key_id)
 
     def _noise_std(self) -> float:
-        s = self.params.lwe_noise_std
-        return s if s > 0 else 3.2
+        if self._noise_override is not None:
+            return self._noise_override
+        return self.params.noise_std_absolute()

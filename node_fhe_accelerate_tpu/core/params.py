@@ -87,6 +87,22 @@ class ParameterSet:
     def get_log_modulus(self) -> float:
         return math.log2(float(self.q_total))
 
+    def noise_std_absolute(self) -> float:
+        """Encryption noise std in absolute integer units.
+
+        The reference stores TFHE noise as a *fraction of the modulus*
+        (sigma = 3.2e-11, parameter_set.cpp:108-137) but feeds it unscaled
+        into an absolute-unit gaussian sampler (key_manager.cpp:85-110), so
+        every preset's error rounds to zero and LWE security collapses
+        (anyone can solve b = a*s exactly).  Here fractional stds (< 0.5)
+        are scaled by q, and the result is clamped to >= 3.2 absolute — the
+        standard minimum for discrete-gaussian LWE error.
+        """
+        s = self.lwe_noise_std
+        if s < 0.5:
+            s = s * float(self.q_total)
+        return max(s, 3.2)
+
     def calculate_derived_parameters(self) -> None:
         log_q = self.get_log_modulus()
         log_t = math.log2(float(self.plaintext_modulus))

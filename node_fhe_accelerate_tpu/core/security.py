@@ -131,6 +131,18 @@ class SecurityValidator:
                 res.add(SecurityViolation.MODULUS_NOT_NTT_FRIENDLY,
                         f"modulus {q} != 1 mod 2N for N={N}")
 
+        # Effective noise in absolute integer units must not round to zero:
+        # the reference's presets feed fractional stds (3.2e-11) into an
+        # absolute-unit sampler, silently producing error-free LWE
+        # (key_manager.cpp:85-110) — broken regardless of dimensions.
+        eff = params.lwe_noise_std
+        if eff < 0.5:
+            eff = eff * float(params.q_total)
+        if eff < 3.2:
+            res.add(SecurityViolation.NOISE_TOO_SMALL,
+                    f"effective noise std {eff:.3g} (absolute units) < 3.2; "
+                    "LWE samples would be (nearly) error-free")
+
         if params.scheme == FHEScheme.TFHE:
             if params.lwe_dimension < _MIN_LWE_DIM.get(sec, 630):
                 res.add(SecurityViolation.LWE_DIMENSION_TOO_SMALL,

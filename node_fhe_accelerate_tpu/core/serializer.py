@@ -126,6 +126,14 @@ def deserialize_blob(raw: bytes, expected_magic: Magic
     payload = raw[_HEADER_SIZE:_HEADER_SIZE + hdr.data_size]
     if len(payload) != hdr.data_size:
         raise SerializationError("truncated payload")
+    # checksum_type comes from the UNTRUSTED header: accepting NONE (or any
+    # unknown value, for which _checksum returns 0) would let a tampered
+    # blob disable its own corruption detection.  Note CRC32/truncated
+    # SHA-256 are integrity checks only, not authentication.
+    if hdr.checksum_type not in (ChecksumType.CRC32, ChecksumType.SHA256):
+        raise SerializationError(
+            f"unacceptable checksum type {hdr.checksum_type} "
+            "(NONE/unknown rejected on deserialize)")
     if _checksum(payload, hdr.checksum_type) != hdr.checksum:
         raise SerializationError("checksum mismatch")
     if hdr.compression == CompressionType.ZLIB:

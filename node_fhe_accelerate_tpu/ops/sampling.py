@@ -7,9 +7,11 @@ Semantics match the reference:
 
 * ternary: uniform over {-1, 0, 1} mapped to {q-1, 0, 1} (sample_ternary)
 * gaussian: round(N(0, std_dev)) mod q, std_dev in *absolute integer units*
-  (sample_gaussian, key_manager.cpp:85-110).  Note the reference passes
-  `lwe_noise_std` (e.g. 3.2e-11) directly, so TFHE-preset errors round to 0 —
-  we reproduce that contract; callers wanting real noise pass sigma >= 1.
+  (sample_gaussian, key_manager.cpp:85-110).  The reference passes fractional
+  `lwe_noise_std` (e.g. 3.2e-11) directly, so TFHE-preset errors round to 0
+  and LWE security collapses; this build does NOT reproduce that — callers
+  (EncryptionEngine/KeyManager) scale fractional stds by q and clamp to
+  >= 3.2 absolute via ParameterSet.noise_std_absolute().
 * uniform: uniform in [0, q) (random_u64_range)
 
 All samplers return uint32 limb-plane pairs of the requested shape.

@@ -25,6 +25,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .curve import Curve, bn254_g1
+from .rand import ScalarRng
 from .hashes import Transcript
 from ..ops import limbs as lb
 
@@ -132,14 +133,17 @@ def _single(p, i=0):
 
 
 class BulletproofsProver:
-    def __init__(self, curve: Curve | None = None, rng_seed: int = 0):
+    def __init__(self, curve: Curve | None = None,
+                 rng_seed: int | None = None):
         self.curve = curve or bn254_g1()
         self.r = self.curve.order
-        self._rng = np.random.default_rng(rng_seed)
+        # Default: OS CSPRNG.  Seeded mode is for reproducible tests ONLY —
+        # predictable Pedersen blindings make commitments brute-forceable.
+        self._rng = ScalarRng(self.r, rng_seed)
 
     # -- helpers -------------------------------------------------------------
     def random_scalar(self) -> int:
-        return int.from_bytes(self._rng.bytes(40), "little") % self.r
+        return self._rng.scalar()
 
     def commit(self, value: int, blinding: int, gens: BulletproofsGens
                ) -> PedersenCommitment:

@@ -17,6 +17,7 @@ from dataclasses import dataclass, field as dfield
 import numpy as np
 
 from .curve import bn254_g1
+from .rand import ScalarRng
 from .field import BN254_FR as R
 from .bulletproofs import _scalars, _stack_points
 from .commitments import _affine_or_none
@@ -168,12 +169,15 @@ class Groth16Proof:
 
 
 class Groth16Prover:
-    def __init__(self, rng_seed: int = 0):
+    def __init__(self, rng_seed: int | None = None):
         self.curve = bn254_g1()
-        self._rng = np.random.default_rng(rng_seed)
+        # Default: OS CSPRNG.  Seeded mode is for reproducible tests ONLY —
+        # predictable setup randomness (tau, alpha, beta, gamma, delta) is
+        # recoverable toxic waste and allows proof forgery.
+        self._rng = ScalarRng(R, rng_seed)
 
     def _rand(self):
-        return int.from_bytes(self._rng.bytes(40), "little") % R
+        return self._rng.scalar()
 
     # -- setup (groth16.cpp setup, with real G2) -----------------------------
     def setup(self, r1cs: R1CS) -> Groth16Setup:

@@ -27,6 +27,7 @@ from .field import BN254_FR as R
 from .commitments import KZGScheme, KZGSetup, _poly_eval
 from .hashes import Transcript
 from .curve import bn254_g1
+from .rand import ScalarRng
 
 __all__ = ["PlonkCircuit", "PlonkSetup", "PlonkProof", "PlonkProver",
            "PlonkVerifier", "tally_correctness_circuit"]
@@ -200,9 +201,10 @@ def _pdivmod(num, den):
 
 
 class PlonkProver:
-    def __init__(self, rng_seed: int = 0):
+    def __init__(self, rng_seed: int | None = None):
         self.kzg_scheme = KZGScheme(bn254_g1())
-        self._rng = np.random.default_rng(rng_seed)
+        # Default: OS CSPRNG; seeded mode for reproducible tests only.
+        self._rng = ScalarRng(R, rng_seed)
 
     def setup(self, circuit: PlonkCircuit, kzg_seed: int = 0) -> PlonkSetup:
         n = max(4, 1 << (len(circuit.gates) - 1).bit_length()) \

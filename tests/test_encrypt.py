@@ -1,9 +1,10 @@
 """Encrypt -> homomorphic ops -> decrypt round trips.
 
 Mirrors the reference's Property 2 (encryption round-trip,
-encryption-round-trip.prop.test.ts), Property 6/7 (homomorphic add/mul) with
-exactness: the reference's preset noise std (3.2e-11) rounds to zero-error
-gaussians (key_manager.cpp:85-110), so every chain here must be bit-exact.
+encryption-round-trip.prop.test.ts), Property 6/7 (homomorphic add/mul) in
+an explicit zero-noise test mode so every chain is bit-exact (the phase
+algebra itself is what is under test).  Real-noise round trips live in
+test_encrypt_noisy.py.
 """
 import numpy as np
 import pytest
@@ -28,9 +29,12 @@ def small_params(t=16):
 
 @pytest.fixture(scope="module")
 def setup():
+    # Explicit zero-noise override: these are EXACTNESS tests (phase algebra
+    # must be bit-exact).  Noisy round-trips are covered by
+    # test_encrypt_noisy.py at realistic parameters.
     params = small_params()
-    eng = EncryptionEngine(params)
-    km = KeyManager(params, eng.ring)
+    eng = EncryptionEngine(params, noise_std=0.0)
+    km = KeyManager(params, eng.ring, noise_std=0.0)
     key = jax.random.PRNGKey(0)
     k_sk, k_pk, k_rlk = jax.random.split(key, 3)
     sk = km.generate_secret_key(k_sk)
