@@ -11,10 +11,16 @@ with two structural upgrades over the reference:
    its external product is therefore ~zero and CMux degenerates.  Here the
    scheme runs over the torus q = 2^32 (core/torus.py) with exact top-bit
    signed decomposition matching the gadget, the textbook TFHE construction.
-2. **BSK resident in NTT domain.**  The reference re-transforms every GGSW
-   row on every external product (the known inefficiency flagged in
-   SURVEY.md §3.3); here the bootstrap key is NTT-transformed once per CRT
-   prime at keygen and blind rotate stays in the transform domain per step.
+2. **MXU-native external product (default backend).**  The reference runs
+   (k+1)^2*l NTTs of size N per CMux (bootstrap_engine.cpp:431-518); here
+   the digit x torus negacyclic products are ONE int8 matrix contraction on
+   the MXU per blind-rotate step (ops/i8.py): gadget digits (|d| <= B/2)
+   against base-256 digit planes of the GGSW row's negacyclic Toeplitz
+   matrix, exact int32 accumulation, free mod-2^32 recombination.  No NTT,
+   no modular reduction, ~48*N^2 int8 MACs/step — systolic-array food.
+   The round-1 NTT backend (BSK Montgomery-NTT-resident over P_EXT, itself
+   an upgrade over the reference's per-call re-transforms) remains as the
+   bit-exact cross-check oracle (ext_backend="ntt").
 
 Everything is batched: ciphertext structs take arbitrary leading batch axes,
 so thousands of bootstraps run as one jitted program — that batch axis (and
@@ -32,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from .torus import TorusRing
+from ..ops import i8 as i8ops
 
 __all__ = [
     "TfheParams", "TFHE_BOOT_128", "LweCiphertext", "GlweCiphertext",
@@ -76,19 +83,29 @@ class GlweCiphertext:
 
 @dataclass
 class BootstrapKey:
-    """GGSW(s_i) per LWE key bit, NTT-resident in Montgomery form over the
-    single external-product prime P_EXT, plus the LWE key-switch key
-    (bootstrap_engine.h:105-125, ksk gen bootstrap_engine.cpp:308-429)."""
-    # ggsw_ext: (lo, hi) planes, shape (n, k+1, level, k+1, N)
-    ggsw_ext: Any
+    """GGSW(s_i) per LWE key bit + the LWE key-switch key
+    (bootstrap_engine.h:105-125, ksk gen bootstrap_engine.cpp:308-429).
+
+    The GGSW matrix is stored in the form the engine's external-product
+    backend consumes:
+
+    * ``ggsw_i8`` (default, MXU backend): signed base-256 digit planes of
+      g~ = [g, -g], int8 (n, level, k+1, k+1, 2N, 4) — blind rotate runs as
+      one int8 MXU matmul per step (ops/i8.py).
+    * ``ggsw_ext`` (NTT backend): Montgomery-NTT planes over P_EXT,
+      (lo, hi) each (n, k+1, level, k+1, N) — the round-1 VPU path, kept as
+      the cross-check oracle.
+    """
     ksk_a: Any        # uint32 (kN, ks_level, n)
     ksk_b: Any        # uint32 (kN, ks_level)
     params: TfheParams
+    ggsw_ext: Any = None
+    ggsw_i8: Any = None
 
 
 for _cls, _fields in ((LweCiphertext, ("a", "b")),
                       (GlweCiphertext, ("data",)),
-                      (BootstrapKey, ("ggsw_ext", "ksk_a", "ksk_b"))):
+                      (BootstrapKey, ("ggsw_ext", "ggsw_i8", "ksk_a", "ksk_b"))):
     jax.tree_util.register_pytree_node(
         _cls,
         (lambda fields: lambda x: (
@@ -102,20 +119,44 @@ for _cls, _fields in ((LweCiphertext, ("a", "b")),
 class TfheEngine:
     """Batched torus-2^32 TFHE over a TorusRing."""
 
-    def __init__(self, params: TfheParams):
+    def __init__(self, params: TfheParams, ext_backend: str = "mxu"):
+        """ext_backend selects the external-product engine:
+
+        * "mxu" (default): int8 digit-plane negacyclic matmul on the MXU —
+          one [batch, (k+1)*level*N] x [..., (k+1)*N*4] int8 contraction
+          per blind-rotate step, no NTT, no modular reduction (mod 2^32 is
+          native wraparound).  See ops/i8.py.
+        * "ntt": the single-prime Montgomery-NTT external product over
+          P_EXT (round-1 path) — VPU-bound, kept as the bit-exact oracle.
+        """
+        if ext_backend not in ("mxu", "ntt"):
+            raise ValueError(f"unknown ext_backend {ext_backend!r}")
         self.p = params
+        self.backend = ext_backend
         self.ring = TorusRing(params.poly_degree)
         self.t = params.plaintext_modulus
         self.delta = (1 << 32) // self.t
+        k, lvl = params.glwe_dim, params.pbs_level
+        if ext_backend == "mxu":
+            # int32 accumulation bound: terms * (base/2) * 128 < 2^31
+            terms = (k + 1) * lvl * params.poly_degree
+            if terms * (1 << (params.pbs_base_log - 1)) * 128 >= (1 << 31):
+                raise ValueError(
+                    "pbs_base_log/level/N too large for exact int32 "
+                    "accumulation on the int8 MXU path")
+            self._toep_idx = jnp.asarray(
+                i8ops.negacyclic_toeplitz_idx(params.poly_degree))
+        else:
+            terms = (k + 1) * lvl
+            if not self.ring.ext_bound_ok(params.pbs_base_log, terms):
+                raise ValueError(
+                    "pbs_base_log/level too large for the single-prime "
+                    "external product (P_EXT); reduce base_log or extend "
+                    "TorusRing to CRT")
         # jitted entry points (eager op-by-op dispatch on the remote-compile
         # TPU path is pathologically slow; everything heavy goes through jit)
         self.bootstrap_jit = jax.jit(self.bootstrap_with_test_poly)
         self.blind_rotate_jit = jax.jit(self.blind_rotate)
-        terms = (params.glwe_dim + 1) * params.pbs_level
-        if not self.ring.ext_bound_ok(params.pbs_base_log, terms):
-            raise ValueError(
-                "pbs_base_log/level too large for the single-prime external "
-                "product (P_EXT); reduce base_log or extend TorusRing to CRT")
         self.generate_bootstrap_key = jax.jit(self._generate_bsk_impl)
         self.lwe_encrypt = jax.jit(self._lwe_encrypt_impl,
                                    static_argnames=("noise_std",))
@@ -247,8 +288,16 @@ class TfheEngine:
         # rows: list of (n, k+1, N) -> (n, k+1, lvl, k+1, N)
         ggsw = jnp.stack(rows, axis=1).reshape(n, k + 1, lvl, k + 1, N)
 
-        # NTT-resident Montgomery form over the external-product prime
-        ggsw_ext = self.ring.forward_ext_mont(ggsw)
+        ggsw_ext = ggsw_i8 = None
+        if self.backend == "ntt":
+            # NTT-resident Montgomery form over the external-product prime
+            ggsw_ext = self.ring.forward_ext_mont(ggsw)
+        else:
+            # MXU form: digit planes of g~ = [g, -g], contraction-ordered
+            # (level, j) to match the decomposition digits' layout.
+            g = jnp.moveaxis(ggsw, 2, 1)            # (n, lvl, j, jp, N)
+            ghat = jnp.concatenate([g, jnp.uint32(0) - g], axis=-1)
+            ggsw_i8 = i8ops.u32_to_i8_digits(ghat)  # (n,lvl,j,jp,2N,4)
 
         # --- key-switch key: from extracted key (kN) to lwe_sk (n)
         # s_in[p] = glwe_sk[i, p mod N] flattened; KSK[p, l] = LWE(s_in * gk_l)
@@ -264,7 +313,7 @@ class TfheEngine:
                             lwe_sk.astype(jnp.int32),
                             preferred_element_type=jnp.int32).astype(jnp.uint32)
                  + e + s_in[:, None] * g_vec[None, :])
-        return BootstrapKey(ggsw_ext=ggsw_ext,
+        return BootstrapKey(ggsw_ext=ggsw_ext, ggsw_i8=ggsw_i8,
                             ksk_a=ksk_a, ksk_b=ksk_b, params=p)
 
     # ------------------------------------------------------------------
@@ -298,10 +347,40 @@ class TfheEngine:
             out.append(ring.inverse_ext_to_torus(acc))
         return jnp.stack(out, axis=-2)
 
-    def cmux(self, ggsw_ext, ct0_data, ct1_data):
+    def external_product_mxu(self, ggsw_i8_row, glwe_data):
+        """GGSW (x) GLWE as ONE int8 MXU matmul (see ops/i8.py).
+
+        ggsw_i8_row: int8 (lvl, k+1, k+1, 2N, 4) digit planes of g~=[g,-g]
+        for one LWE bit.  glwe_data: uint32 (..., k+1, N).
+
+        out[..., jp, r] = sum_{l,j,c} d[l,j,c] * g[l,j,jp] rotated — the
+        negacyclic Toeplitz contraction [batch, (k+1)lvl N] x
+        [(k+1)lvl N, (k+1) N 4], exact in int32, recombined mod 2^32.
+        Same algebra as external_product (both are exact), so the two
+        backends agree bit-for-bit.
+        """
+        p = self.p
+        k, lvl, N = p.glwe_dim, p.pbs_level, p.poly_degree
+        digits = self.ring.decompose(glwe_data, p.pbs_base_log, lvl)
+        d = jnp.moveaxis(digits, 0, -3).astype(jnp.int8)  # (...,lvl,k+1,N)
+        d_flat = d.reshape(d.shape[:-3] + ((k + 1) * lvl * N,))
+        # Toeplitz rows: (lvl, j, 2N->c?, ...) gather (r-c)%2N along coeffs
+        t = jnp.take(ggsw_i8_row, self._toep_idx, axis=-2)
+        # (lvl, j, jp, c, r, P) -> (lvl, j, c, jp, r, P)
+        t = jnp.transpose(t, (0, 1, 3, 2, 4, 5))
+        t = t.reshape(((k + 1) * lvl * N, (k + 1) * N * 4))
+        out = jax.lax.dot_general(
+            d_flat, t, (((d_flat.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out = out.reshape(d.shape[:-3] + (k + 1, N, 4))
+        return i8ops.i8_digit_planes_to_u32(out)
+
+    def cmux(self, ggsw_row, ct0_data, ct1_data):
         """ct0 + GGSW (x) (ct1 - ct0) (cmux, bootstrap_engine.cpp:520-540)."""
         diff = ct1_data - ct0_data
-        return ct0_data + self.external_product(ggsw_ext, diff)
+        if self.backend == "mxu":
+            return ct0_data + self.external_product_mxu(ggsw_row, diff)
+        return ct0_data + self.external_product(ggsw_row, diff)
 
     # ------------------------------------------------------------------
     # Blind rotate / sample extract / key switch
@@ -323,13 +402,18 @@ class TfheEngine:
         a_rots = self._rotations(lwe.a)           # (..., n)
         a_rots = jnp.moveaxis(a_rots, -1, 0)      # (n, ...)
 
-        def step(acc, inp):
-            g_lo, g_hi, rot = inp
-            rotated = ring.rotate(acc, rot[..., None])
-            new = self.cmux((g_lo, g_hi), acc, rotated)
-            return new, None
-
-        xs = (bsk.ggsw_ext[0], bsk.ggsw_ext[1], a_rots)
+        if self.backend == "mxu":
+            def step(acc, inp):
+                g_i8, rot = inp
+                rotated = ring.rotate(acc, rot[..., None])
+                return self.cmux(g_i8, acc, rotated), None
+            xs = (bsk.ggsw_i8, a_rots)
+        else:
+            def step(acc, inp):
+                g_lo, g_hi, rot = inp
+                rotated = ring.rotate(acc, rot[..., None])
+                return self.cmux((g_lo, g_hi), acc, rotated), None
+            xs = (bsk.ggsw_ext[0], bsk.ggsw_ext[1], a_rots)
         acc, _ = jax.lax.scan(step, acc, xs)
         return acc
 

@@ -122,16 +122,46 @@ def test_glwe_zero_phase():
 # ---------------------------------------------------------------------------
 
 
-@pytest.fixture(scope="module")
-def boot_setup():
+@pytest.fixture(scope="module", params=["mxu", "ntt"])
+def boot_setup(request):
     p = tiny_params()
-    eng = TfheEngine(p)
+    eng = TfheEngine(p, ext_backend=request.param)
     key = jax.random.PRNGKey(7)
     lwe_sk = eng.lwe_keygen(jax.random.fold_in(key, 0))
     glwe_sk = eng.glwe_keygen(jax.random.fold_in(key, 1))
     bsk = eng.generate_bootstrap_key(jax.random.fold_in(key, 2),
                                      lwe_sk, glwe_sk)
     return p, eng, lwe_sk, glwe_sk, bsk
+
+
+def _ggsw_row(eng, bsk, i):
+    if eng.backend == "mxu":
+        return bsk.ggsw_i8[i]
+    return (bsk.ggsw_ext[0][i], bsk.ggsw_ext[1][i])
+
+
+def test_external_product_backends_bit_exact():
+    """The int8 MXU Toeplitz contraction and the Montgomery-NTT external
+    product compute the same exact integer algebra — results must be
+    bit-identical on the same bootstrap key."""
+    p = tiny_params()
+    key = jax.random.PRNGKey(23)
+    eng_m = TfheEngine(p, ext_backend="mxu")
+    eng_n = TfheEngine(p, ext_backend="ntt")
+    lwe_sk = eng_m.lwe_keygen(jax.random.fold_in(key, 0))
+    glwe_sk = eng_m.glwe_keygen(jax.random.fold_in(key, 1))
+    bsk_m = eng_m.generate_bootstrap_key(jax.random.fold_in(key, 2),
+                                         lwe_sk, glwe_sk)
+    bsk_n = eng_n.generate_bootstrap_key(jax.random.fold_in(key, 2),
+                                         lwe_sk, glwe_sk)
+    glwe = jax.random.bits(jax.random.fold_in(key, 3),
+                           (3, p.glwe_dim + 1, p.poly_degree),
+                           dtype=jnp.uint32)
+    for i in [0, 3, 5]:
+        out_m = jax.jit(eng_m.external_product_mxu)(bsk_m.ggsw_i8[i], glwe)
+        out_n = jax.jit(eng_n.external_product)(
+            (bsk_n.ggsw_ext[0][i], bsk_n.ggsw_ext[1][i]), glwe)
+        np.testing.assert_array_equal(np.asarray(out_m), np.asarray(out_n))
 
 
 def test_cmux_selects(boot_setup):
@@ -145,7 +175,7 @@ def test_cmux_selects(boot_setup):
     c1 = jnp.zeros((p.glwe_dim + 1, N), jnp.uint32).at[p.glwe_dim].set(m1[0])
     sk_np = np.asarray(lwe_sk)
     for i in [0, 1, 2]:
-        g = (bsk.ggsw_ext[0][i], bsk.ggsw_ext[1][i])
+        g = _ggsw_row(eng, bsk, i)
         out = eng.cmux(g, c0, c1)
         ph = eng.glwe_phase(GlweCiphertext(data=out), glwe_sk)
         got = np.asarray(ph)[0]
