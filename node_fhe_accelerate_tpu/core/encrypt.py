@@ -266,6 +266,37 @@ class EncryptionEngine:
     def square(self, a: Ciphertext) -> Ciphertext:
         return self.multiply(a, a)
 
+    # -- correct BFV multiply (t/q rescale) ---------------------------------
+    @property
+    def rescaler(self):
+        """Lazily-built exact CRT tensor-multiplier (core/bfv_mul.py)."""
+        rs = getattr(self, "_rescaler", None)
+        if rs is None:
+            from .bfv_mul import RescaleMultiplier
+
+            rs = RescaleMultiplier(self.ring.n, self.q, self.t)
+            self._rescaler = rs
+            self._rescale_mul_jit = jax.jit(rs.multiply)
+        return rs
+
+    def multiply_rescale(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        """Real BFV (Fan-Vercauteren) multiply: d_i = round(t/q * (a (x) b))
+        — the composition the reference's decrypt semantics require
+        (encryption.cpp:737-799 + :234-301) but its code never performs.
+        The result is degree-2 at scale Delta (NOT Delta^2): decrypt works
+        directly after relinearize, with real noise."""
+        if a.is_degree_2 or b.is_degree_2:
+            raise ValueError("relinearize before multiplying degree-2")
+        rs = self.rescaler
+        d0, d1, d2 = self._rescale_mul_jit(a.c0, a.c1, b.c0, b.c1)
+        nb = min(a.noise_budget, b.noise_budget) - (
+            math.log2(self.t) + math.log2(self.params.poly_degree) + 3.0)
+        return Ciphertext(c0=d0, c1=d1, c2=d2, noise_budget=nb,
+                          key_id=a.key_id)
+
+    def multiply_relin_rescale(self, a, b, rlk: RelinKey) -> Ciphertext:
+        return self.relinearize(self.multiply_rescale(a, b), rlk)
+
     def relinearize(self, ct: Ciphertext, rlk: RelinKey) -> Ciphertext:
         """Digit-decompose d2 against the relin key (encryption.cpp:904-995).
 
