@@ -144,8 +144,6 @@ class TfheEngine:
                 raise ValueError(
                     "pbs_base_log/level/N too large for exact int32 "
                     "accumulation on the int8 MXU path")
-            self._toep_idx = jnp.asarray(
-                i8ops.negacyclic_toeplitz_idx(params.poly_degree))
         else:
             terms = (k + 1) * lvl
             if not self.ring.ext_bound_ok(params.pbs_base_log, terms):
@@ -294,10 +292,13 @@ class TfheEngine:
             ggsw_ext = self.ring.forward_ext_mont(ggsw)
         else:
             # MXU form: digit planes of g~ = [g, -g], contraction-ordered
-            # (level, j) to match the decomposition digits' layout.
+            # (level, j) to match the decomposition digits' layout, with
+            # the COEFFICIENT axis minor (lane axis) so the per-step
+            # Toeplitz expansion lands in MXU-friendly layout.
             g = jnp.moveaxis(ggsw, 2, 1)            # (n, lvl, j, jp, N)
             ghat = jnp.concatenate([g, jnp.uint32(0) - g], axis=-1)
-            ggsw_i8 = i8ops.u32_to_i8_digits(ghat)  # (n,lvl,j,jp,2N,4)
+            d8 = i8ops.u32_to_i8_digits(ghat)       # (n,lvl,j,jp,2N,P)
+            ggsw_i8 = jnp.moveaxis(d8, -1, -2)      # (n,lvl,j,jp,P,2N)
 
         # --- key-switch key: from extracted key (kN) to lwe_sk (n)
         # s_in[p] = glwe_sk[i, p mod N] flattened; KSK[p, l] = LWE(s_in * gk_l)
@@ -348,32 +349,44 @@ class TfheEngine:
         return jnp.stack(out, axis=-2)
 
     def external_product_mxu(self, ggsw_i8_row, glwe_data):
-        """GGSW (x) GLWE as ONE int8 MXU matmul (see ops/i8.py).
+        """GGSW (x) GLWE as ONE int8 MXU contraction (see ops/i8.py).
 
-        ggsw_i8_row: int8 (lvl, k+1, k+1, 2N, 4) digit planes of g~=[g,-g]
-        for one LWE bit.  glwe_data: uint32 (..., k+1, N).
+        ggsw_i8_row: int8 (lvl, k+1, k+1, P, 2N) digit planes of g~=[g,-g]
+        for one LWE bit (coeff axis minor).  glwe_data: uint32 (..., k+1, N).
 
-        out[..., jp, r] = sum_{l,j,c} d[l,j,c] * g[l,j,jp] rotated — the
-        negacyclic Toeplitz contraction [batch, (k+1)lvl N] x
-        [(k+1)lvl N, (k+1) N 4], exact in int32, recombined mod 2^32.
-        Same algebra as external_product (both are exact), so the two
-        backends agree bit-for-bit.
+        The negacyclic Toeplitz T[c, r] = g~[(r-c) mod 2N] is expanded by
+        LOGARITHMIC DOUBLING — T_{2c} = [T_c ; roll(T_c, c)] — ~log2(N)
+        concat+roll ops at HBM bandwidth (a gather formulation measured
+        ~500x slower; see ROUND_NOTES).  Then one multi-dim int8 dot:
+        d[..., lvl, j, c] x T[lvl, j, jp, P, c, r] -> out[..., jp, P, r],
+        exact int32, recombined mod 2^32 (free torus wraparound).  Same
+        exact algebra as external_product, so the backends agree
+        bit-for-bit.
         """
         p = self.p
         k, lvl, N = p.glwe_dim, p.pbs_level, p.poly_degree
         digits = self.ring.decompose(glwe_data, p.pbs_base_log, lvl)
         d = jnp.moveaxis(digits, 0, -3).astype(jnp.int8)  # (...,lvl,k+1,N)
-        d_flat = d.reshape(d.shape[:-3] + ((k + 1) * lvl * N,))
-        # Toeplitz rows: (lvl, j, 2N->c?, ...) gather (r-c)%2N along coeffs
-        t = jnp.take(ggsw_i8_row, self._toep_idx, axis=-2)
-        # (lvl, j, jp, c, r, P) -> (lvl, j, c, jp, r, P)
-        t = jnp.transpose(t, (0, 1, 3, 2, 4, 5))
-        t = t.reshape(((k + 1) * lvl * N, (k + 1) * N * 4))
+        batch = d.shape[:-3]
+        d = d.reshape((-1,) + d.shape[-3:])               # (B, lvl, k+1, N)
+
+        # Toeplitz doubling: (lvl,j,jp,P,2N) -> (lvl,j,jp,P,N_c,N_r)
+        t = ggsw_i8_row[..., None, :]                     # c-axis singleton
+        c = 1
+        while c < N:
+            t = jnp.concatenate(
+                [t, i8ops.roll_last(t, c)], axis=-2)
+            c *= 2
+        t = t[..., :N]                                    # r < N
+
         out = jax.lax.dot_general(
-            d_flat, t, (((d_flat.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        out = out.reshape(d.shape[:-3] + (k + 1, N, 4))
-        return i8ops.i8_digit_planes_to_u32(out)
+            d, t, (((1, 2, 3), (0, 1, 4)), ((), ())),
+            preferred_element_type=jnp.int32)             # (B, jp, P, N)
+        res = out[..., 0, :].astype(jnp.uint32)
+        for pp in range(1, out.shape[-2]):
+            res = res + (out[..., pp, :].astype(jnp.uint32)
+                         << jnp.uint32(8 * pp))
+        return res.reshape(batch + (k + 1, N))
 
     def cmux(self, ggsw_row, ct0_data, ct1_data):
         """ct0 + GGSW (x) (ct1 - ct0) (cmux, bootstrap_engine.cpp:520-540)."""

@@ -68,6 +68,11 @@ def i8_digit_planes_to_u32(partials):
     return out
 
 
+def roll_last(x, shift: int):
+    """jnp.roll along the last axis (static shift) — lane-axis rotation."""
+    return jnp.roll(x, shift, axis=-1)
+
+
 def negacyclic_toeplitz_idx(n: int) -> np.ndarray:
     """Static gather indices: IDX[c, r] = (r - c) mod 2N.
 

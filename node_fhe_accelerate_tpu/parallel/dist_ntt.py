@@ -30,7 +30,106 @@ from ..ops.u64 import (
     u64_from_np, u64_mul_wide, u128_add, U32,
 )
 
-__all__ = ["DistNTT", "matrix_cyclic_ntt"]
+__all__ = ["DistNTT", "CyclicNTT", "matrix_cyclic_ntt"]
+
+
+def _bit_reverse(x: int, bits: int) -> int:
+    r = 0
+    for _ in range(bits):
+        r = (r << 1) | (x & 1)
+        x >>= 1
+    return r
+
+
+class CyclicNTT:
+    """Log-stage cyclic DFT of power-of-two size m over Z_q.
+
+    Forward = Gentleman-Sande DIF (natural in -> BIT-REVERSED out);
+    inverse = Cooley-Tukey DIT (bit-reversed in -> natural out, m^-1
+    scaled) — the pairing absorbs the bit-reversal permutation entirely,
+    exactly like the negacyclic NTTContext (ops/ntt.py).  This is the local
+    sub-transform of the 4-step distributed NTT: O(m log m) fused VPU
+    sweeps instead of the O(m^2) matrix form.
+
+    Operates along the LAST axis of limb-plane pairs.
+    """
+
+    def __init__(self, m: int, q: int, omega: int):
+        if m & (m - 1):
+            raise ValueError("m must be a power of two")
+        if pow(omega, m, q) != 1 or (m > 1 and pow(omega, m // 2, q) == 1):
+            raise ValueError("omega must have exact order m")
+        self.m = m
+        self.logm = m.bit_length() - 1
+        self.q = q
+        self.ctx = ModCtx(q)
+        self.omega = omega
+        omega_inv = pow(omega, -1, q)
+        self.m_inv = pow(m, -1, q)
+        # GS-DIF stage s (s = 0 .. logm-1): half = m >> (s+1); twiddles
+        # omega^(j * 2^s) for j in [0, half).  DIT inverse runs stages in
+        # the opposite order with conjugate twiddles.
+        self._fwd_tw = []
+        self._inv_tw = []
+        for s in range(self.logm):
+            half = m >> (s + 1)
+            tw = np.array([pow(omega, (j << s), q) for j in range(half)],
+                          dtype=np.uint64)
+            itw = np.array([pow(omega_inv, (j << s), q) for j in range(half)],
+                           dtype=np.uint64)
+            self._fwd_tw.append(self._prep(tw.reshape(1, half)))
+            self._inv_tw.append(self._prep(itw.reshape(1, half)))
+        self._m_inv_c = self._prep(np.array([self.m_inv], dtype=np.uint64))
+
+    def _prep(self, arr):
+        """Montgomery-scaled constant (one mont_mul = exact modmul)."""
+        scaled = (arr.astype(object) * self.ctx.r_mod_q % self.q
+                  ).astype(np.uint64)
+        return u64_from_np(scaled)
+
+    def _mulc(self, a, w):
+        return self.ctx.mont_mul(a, w)
+
+    def forward(self, a):
+        """(..., m) natural order -> (..., m) bit-reversed order."""
+        ctx = self.ctx
+        m = self.m
+        lo, hi = a
+        batch = lo.shape[:-1]
+        for s in range(self.logm):
+            groups = 1 << s
+            half = m >> (s + 1)
+            shp = batch + (groups, 2, half)
+            lo_r = lo.reshape(shp)
+            hi_r = hi.reshape(shp)
+            u = (lo_r[..., 0, :], hi_r[..., 0, :])
+            v = (lo_r[..., 1, :], hi_r[..., 1, :])
+            top = ctx.add(u, v)
+            bot = self._mulc(ctx.sub(u, v), self._fwd_tw[s])
+            lo = jnp.stack([top[0], bot[0]], axis=-2).reshape(batch + (m,))
+            hi = jnp.stack([top[1], bot[1]], axis=-2).reshape(batch + (m,))
+        return (lo, hi)
+
+    def inverse(self, a):
+        """(..., m) bit-reversed order -> (..., m) natural, m^-1 scaled."""
+        ctx = self.ctx
+        m = self.m
+        lo, hi = a
+        batch = lo.shape[:-1]
+        for s in range(self.logm - 1, -1, -1):
+            groups = 1 << s
+            half = m >> (s + 1)
+            shp = batch + (groups, 2, half)
+            lo_r = lo.reshape(shp)
+            hi_r = hi.reshape(shp)
+            u = (lo_r[..., 0, :], hi_r[..., 0, :])
+            wv = self._mulc((lo_r[..., 1, :], hi_r[..., 1, :]),
+                            self._inv_tw[s])
+            top = ctx.add(u, wv)
+            bot = ctx.sub(u, wv)
+            lo = jnp.stack([top[0], bot[0]], axis=-2).reshape(batch + (m,))
+            hi = jnp.stack([top[1], bot[1]], axis=-2).reshape(batch + (m,))
+        return self._mulc((lo, hi), self._m_inv_c)
 
 
 def _mat_mod_mul(ctx: ModCtx, w_planes, a_planes):
@@ -96,6 +195,25 @@ class DistNTT:
             for j2 in range(self.n2):
                 tw[k1, j2] = pow(self.omega, k1 * j2, q)
         self.step_tw = tw
+
+        # ---- log-stage local transforms (production path) ----
+        self.c1 = CyclicNTT(n1, q, self.w1)
+        self.c2 = CyclicNTT(self.n2, q, self.w2)
+        logn1 = n1.bit_length() - 1
+        omega_inv = pow(self.omega, -1, q)
+        psi_inv = pow(self.psi, -1, q)
+        # step twiddles with k1 rows in the local transform's BITREV order
+        twb = np.empty((n1, self.n2), dtype=np.uint64)
+        twb_inv = np.empty((n1, self.n2), dtype=np.uint64)
+        for pos in range(n1):
+            k1 = _bit_reverse(pos, logn1)
+            for j2 in range(self.n2):
+                twb[pos, j2] = pow(self.omega, k1 * j2, q)
+                twb_inv[pos, j2] = pow(omega_inv, k1 * j2, q)
+        self.step_tw_brv = twb
+        self.step_tw_brv_inv = twb_inv
+        self.untwist = np.array(
+            [pow(psi_inv, j, q) for j in range(degree)], dtype=np.uint64)
 
     # -- single-chip reference ----------------------------------------------
     def reference_forward(self, a_np: np.ndarray) -> np.ndarray:
@@ -206,3 +324,117 @@ class DistNTT:
         z = (jnp.moveaxis(z[0], 0, -2), jnp.moveaxis(z[1], 0, -2))
         # local output: (..., k2=n2, k1_local=rows)
         return z
+
+    # ------------------------------------------------------------------
+    # Production path: log-stage locals, full round trip, negacyclic mul
+    # ------------------------------------------------------------------
+    # Transform-domain layout ("dist-NTT order"): local shard of shape
+    # (..., n2, n1/P) holding positions (k2_pos, k1_pos) of the BITREV-
+    # ordered (k2, k1) grid; device d owns k1 positions [d*rows, (d+1)*rows).
+    # The ordering is internal: pointwise ops are elementwise and
+    # inverse_sharded undoes it exactly.
+
+    def _twist_local(self, planes, idx, inverse: bool = False):
+        """Multiply local (..., n1, cols) columns by psi^(j1*n2 + j2) (or
+        its inverse), j2 = idx*cols + local column."""
+        ctx = self.ctx
+        n1, n2 = self.n1, self.n2
+        cols = planes[0].shape[-1]
+        # psi^(j1*n2) per row and psi^(j2) per column (or inverses)
+        base = pow(self.psi, -1, self.q) if inverse else self.psi
+        row_tab = u64_from_np(np.array(
+            [pow(base, r * n2, self.q) for r in range(n1)], dtype=np.uint64))
+        col_tab = u64_from_np(np.array(
+            [pow(base, c, self.q) for c in range(n2)], dtype=np.uint64))
+        col_lo = lax.dynamic_slice_in_dim(col_tab[0], idx * cols, cols)
+        col_hi = lax.dynamic_slice_in_dim(col_tab[1], idx * cols, cols)
+        tw = ctx.mul((row_tab[0][:, None], row_tab[1][:, None]),
+                     (col_lo[None, :], col_hi[None, :]))
+        return ctx.mul(planes, tw)
+
+    def forward_local(self, local_planes):
+        """shard_map body, production path.  In: (..., n1, n2/P) shard of
+        the (j1, j2) coefficient grid (j2 sharded).  Out: dist-NTT-order
+        shard (..., n2, n1/P).  One all-to-all on `axis_name`."""
+        ctx = self.ctx
+        n1, n2 = self.n1, self.n2
+        ax = self.axis_name
+        P = lax.axis_size(ax)
+        idx = lax.axis_index(ax)
+        cols = local_planes[0].shape[-1]
+        rows = n1 // P
+
+        x = self._twist_local(local_planes, idx)
+        # local N1 DFT along j1 (axis -2) -> k1 positions (bitrev order)
+        xm = (jnp.moveaxis(x[0], -2, -1), jnp.moveaxis(x[1], -2, -1))
+        y = self.c1.forward(xm)                       # (..., cols, n1)
+        y = (jnp.moveaxis(y[0], -1, -2), jnp.moveaxis(y[1], -1, -2))
+        # step twiddles omega^(k1 * j2), k1 in bitrev row order
+        st = u64_from_np(self.step_tw_brv)
+        st_lo = lax.dynamic_slice_in_dim(st[0], idx * cols, cols, axis=1)
+        st_hi = lax.dynamic_slice_in_dim(st[1], idx * cols, cols, axis=1)
+        y = ctx.mul(y, (st_lo, st_hi))
+        # all-to-all: j2-sharded -> k1-sharded
+        y0 = y[0].reshape(y[0].shape[:-2] + (P, rows, cols))
+        y1 = y[1].reshape(y[1].shape[:-2] + (P, rows, cols))
+        g0 = lax.all_to_all(y0, ax, split_axis=y0.ndim - 3,
+                            concat_axis=y0.ndim - 1, tiled=False)
+        g1 = lax.all_to_all(y1, ax, split_axis=y1.ndim - 3,
+                            concat_axis=y1.ndim - 1, tiled=False)
+        g0 = jnp.moveaxis(g0, -1, -2)
+        g0 = g0.reshape(g0.shape[:-3] + (rows, P * cols))
+        g1 = jnp.moveaxis(g1, -1, -2)
+        g1 = g1.reshape(g1.shape[:-3] + (rows, P * cols))
+        # local N2 DFT along j2 (full axis) -> k2 positions (bitrev order)
+        z = self.c2.forward((g0, g1))                 # (..., rows, n2)
+        return (jnp.moveaxis(z[0], -1, -2), jnp.moveaxis(z[1], -1, -2))
+
+    def inverse_local(self, z_local):
+        """shard_map body: exact inverse of forward_local.
+        In: dist-NTT-order shard (..., n2, n1/P); out: coefficient shard
+        (..., n1, n2/P)."""
+        ctx = self.ctx
+        n1, n2 = self.n1, self.n2
+        ax = self.axis_name
+        P = lax.axis_size(ax)
+        idx = lax.axis_index(ax)
+        rows = n1 // P
+        cols = n2 // P
+
+        # inverse N2 along k2 (axis -2): bitrev -> natural j2, n2^-1 scaled
+        zm = (jnp.moveaxis(z_local[0], -2, -1),
+              jnp.moveaxis(z_local[1], -2, -1))      # (..., rows, n2)
+        y = self.c2.inverse(zm)
+        # divide out step twiddles: omega^(-k1*j2), k1 local rows
+        st = u64_from_np(self.step_tw_brv_inv)
+        st_lo = lax.dynamic_slice_in_dim(st[0], idx * rows, rows, axis=0)
+        st_hi = lax.dynamic_slice_in_dim(st[1], idx * rows, rows, axis=0)
+        y = ctx.mul(y, (st_lo, st_hi))
+        # all-to-all back: k1-sharded -> j2-sharded
+        y0 = y[0].reshape(y[0].shape[:-1] + (P, cols))      # (..., rows, P, cols)
+        y1 = y[1].reshape(y[1].shape[:-1] + (P, cols))
+        g0 = lax.all_to_all(y0, ax, split_axis=y0.ndim - 2,
+                            concat_axis=y0.ndim - 3, tiled=False)
+        g1 = lax.all_to_all(y1, ax, split_axis=y1.ndim - 2,
+                            concat_axis=y1.ndim - 3, tiled=False)
+        # g: (..., P(src k1 block), rows, cols) -> full k1 axis
+        g0 = g0.reshape(g0.shape[:-3] + (n1, cols))
+        g1 = g1.reshape(g1.shape[:-3] + (n1, cols))
+        # inverse N1 along k1 (axis -2): bitrev -> natural j1, n1^-1 scaled
+        gm = (jnp.moveaxis(g0, -2, -1), jnp.moveaxis(g1, -2, -1))
+        x = self.c1.inverse(gm)
+        x = (jnp.moveaxis(x[0], -1, -2), jnp.moveaxis(x[1], -1, -2))
+        # un-twist (total scaling n1^-1 * n2^-1 = N^-1 already applied)
+        return self._twist_local(x, idx, inverse=True)
+
+    def pointwise_local(self, a, b):
+        """Elementwise product in the dist-NTT domain (any matching
+        layout)."""
+        return self.ctx.mul(a, b)
+
+    def negacyclic_mul_local(self, a, b):
+        """shard_map body: full distributed negacyclic multiply.
+        a, b: coefficient shards (..., n1, n2/P)."""
+        fa = self.forward_local(a)
+        fb = self.forward_local(b)
+        return self.inverse_local(self.pointwise_local(fa, fb))

@@ -1,0 +1,129 @@
+"""Sharded polynomial ring: PolyRing API over a device mesh.
+
+Wires the 4-step distributed NTT (dist_ntt.py) behind the same surface as
+the single-chip `PolyRing` (core/poly.py), for degrees or batches beyond
+one chip (SURVEY.md §5.7 — the ring-attention analog: the only collective
+is the all-to-all coefficient transpose between radix-stage groups).
+
+Coefficients enter and leave as ordinary (..., N) limb planes; internally
+they are laid out as an (n1, n2) grid with j2/k1 sharded over the mesh
+axis.  Elementwise ring ops shard trivially; multiply runs
+twist -> local N1 DFTs -> all-to-all -> local N2 DFTs -> pointwise ->
+inverse, bit-exact against the single-chip negacyclic NTT (tested at
+N=8192 with real 40-bit primes on an 8-device mesh).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from .dist_ntt import DistNTT
+from .mesh import make_mesh
+from ..ops.u64 import u64_from_np, u64_to_np
+
+__all__ = ["DistPolyRing"]
+
+
+class DistPolyRing:
+    """Negacyclic ring Z_q[X]/(X^N+1) sharded over a mesh axis.
+
+    API mirrors core/poly.py's PolyRing for the ops that matter at scale:
+    add/sub/neg/pointwise/to_ntt/from_ntt/multiply.  NTT-domain values use
+    the dist-NTT layout (grid (..., n2, n1), k1 sharded) — opaque to
+    callers, consistent between to_ntt/pointwise/from_ntt.
+    """
+
+    def __init__(self, degree: int, modulus: int, mesh=None,
+                 n1: int | None = None, axis: str = "data"):
+        self.n = degree
+        self.q = modulus
+        if mesh is None:
+            ndev = len(jax.devices())
+            mesh = make_mesh(ndev, **{axis: ndev})
+        self.mesh = mesh
+        self.axis = axis
+        p = mesh.shape[axis]
+        if n1 is None:
+            # balanced split with both n1 and n2 divisible by the axis size
+            n1 = 1 << ((degree.bit_length() - 1) // 2)
+            while n1 % p or (degree // n1) % p:
+                n1 *= 2
+                if n1 > degree:
+                    raise ValueError("degree too small for this mesh axis")
+        if degree % n1 or n1 % p or (degree // n1) % p:
+            raise ValueError("n1 and N/n1 must be divisible by the axis size")
+        self.n1 = n1
+        self.n2 = degree // n1
+        self.dntt = DistNTT(degree, modulus, n1=n1, axis_name=axis)
+        self.ctx = self.dntt.ctx
+
+        # rank-3 local layout (B, rows, cols): batch axes are always
+        # flattened into one leading axis so the shard specs line up.
+        grid3 = (P(None, None, axis), P(None, None, axis))
+        self._fwd = jax.jit(shard_map(
+            self.dntt.forward_local, mesh=mesh,
+            in_specs=(grid3,), out_specs=grid3))
+        self._inv = jax.jit(shard_map(
+            self.dntt.inverse_local, mesh=mesh,
+            in_specs=(grid3,), out_specs=grid3))
+        self._mul = jax.jit(shard_map(
+            self.dntt.negacyclic_mul_local, mesh=mesh,
+            in_specs=(grid3, grid3), out_specs=grid3))
+        self._pw = jax.jit(shard_map(
+            self.dntt.pointwise_local, mesh=mesh,
+            in_specs=(grid3, grid3), out_specs=grid3))
+
+    # -- layout ---------------------------------------------------------------
+    def to_grid(self, planes):
+        """(..., N) -> (B, n1, n2) coefficient grid + batch shape."""
+        batch = planes[0].shape[:-1]
+        shp = (-1, self.n1, self.n2)
+        return ((planes[0].reshape(shp), planes[1].reshape(shp)), batch)
+
+    def from_grid(self, grid, batch):
+        shp = batch + (self.n,)
+        return (grid[0].reshape(shp), grid[1].reshape(shp))
+
+    # -- construction / host edges -------------------------------------------
+    def from_np(self, coeffs):
+        return u64_from_np(np.asarray(coeffs, dtype=np.uint64))
+
+    def to_np(self, planes):
+        return u64_to_np(planes)
+
+    def zeros(self, batch=()):
+        z = jnp.zeros(batch + (self.n,), jnp.uint32)
+        return (z, z)
+
+    # -- elementwise (shard trivially under jit) -------------------------------
+    def add(self, a, b):
+        return self.ctx.add(a, b)
+
+    def sub(self, a, b):
+        return self.ctx.sub(a, b)
+
+    def neg(self, a):
+        return self.ctx.neg(a)
+
+    # -- transforms ------------------------------------------------------------
+    def to_ntt(self, a):
+        """(..., N) coefficients -> dist-NTT-domain grid (B, n2, n1) plus
+        batch-shape tag (pass the tuple straight to pointwise/from_ntt)."""
+        g, batch = self.to_grid(a)
+        return (self._fwd(g), batch)
+
+    def from_ntt(self, a_hat):
+        g, batch = a_hat
+        return self.from_grid(self._inv(g), batch)
+
+    def pointwise(self, a_hat, b_hat):
+        return (self._pw(a_hat[0], b_hat[0]), a_hat[1])
+
+    def multiply(self, a, b):
+        """Full distributed negacyclic product on (..., N) planes."""
+        ga, batch = self.to_grid(a)
+        gb, _ = self.to_grid(b)
+        return self.from_grid(self._mul(ga, gb), batch)

@@ -53,3 +53,112 @@ def test_batched_forward_4step():
     got = u64_to_np(jax.jit(d.forward_4step)(u64_from_np(a)))
     for i in range(3):
         np.testing.assert_array_equal(got[i], d.reference_forward(a[i]))
+
+
+# ---------------------------------------------------------------------------
+# Production path: log-stage locals, inverse, distributed negacyclic multiply
+# ---------------------------------------------------------------------------
+from node_fhe_accelerate_tpu.parallel.dist_ntt import CyclicNTT
+from node_fhe_accelerate_tpu.core.params import Primes
+from node_fhe_accelerate_tpu.ops.ntt import NTTContext, negacyclic_mul_np
+
+
+def test_cyclic_ntt_matches_dft_oracle():
+    q = 7681
+    m = 16
+    omega = pow(17, (q - 1) // m, q)   # 17 generates; omega has order m
+    c = CyclicNTT(m, q, omega)
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, q, m, dtype=np.uint64)
+    out = u64_to_np(jax.jit(c.forward)(u64_from_np(a)))
+    # oracle with bit-reversal on the output index
+    logm = m.bit_length() - 1
+    def brv(x):
+        r = 0
+        for _ in range(logm):
+            r = (r << 1) | (x & 1); x >>= 1
+        return r
+    for pos in range(m):
+        k = brv(pos)
+        want = sum(int(a[j]) * pow(omega, j * k, q) for j in range(m)) % q
+        assert int(out[pos]) == want, (pos, k)
+
+
+def test_cyclic_ntt_round_trip():
+    q = Primes.Q_40_1
+    m = 64
+    # omega of exact order m from the negacyclic psi of a larger ring
+    from node_fhe_accelerate_tpu.ops.primes import find_generator_2n
+    psi = find_generator_2n(m, q)          # order 2m
+    omega = psi * psi % q                  # order m
+    c = CyclicNTT(m, q, omega)
+    rng = np.random.default_rng(4)
+    a = rng.integers(0, q, (5, m), dtype=np.uint64)
+    pl = u64_from_np(a)
+    back = u64_to_np(jax.jit(lambda x: c.inverse(c.forward(x)))(pl))
+    np.testing.assert_array_equal(back, a)
+
+
+@pytest.mark.parametrize("n,n1,q", [
+    (64, 8, 7681),
+    (8192, 128, Primes.Q_40_1),     # production size, real 40-bit prime
+])
+def test_distributed_round_trip(n, n1, q):
+    d = DistNTT(n, q, n1=n1)
+    n2 = n // n1
+    mesh = make_mesh(8, data=8)
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, q, n, dtype=np.uint64)
+    grid = tuple(p.reshape(n1, n2) for p in u64_from_np(a))
+    f = shard_map(
+        lambda x: d.inverse_local(d.forward_local(x)), mesh=mesh,
+        in_specs=((P(None, "data"), P(None, "data")),),
+        out_specs=(P(None, "data"), P(None, "data")),
+    )
+    out = u64_to_np(jax.jit(f)(grid)).reshape(n)
+    np.testing.assert_array_equal(out, a)
+
+
+@pytest.mark.parametrize("n,n1,q", [
+    (64, 8, 7681),
+    (8192, 128, Primes.Q_40_1),
+])
+def test_distributed_negacyclic_multiply(n, n1, q):
+    """Full distributed negacyclic product == single-chip oracle, bit-exact
+    (VERDICT round-1 item 5: inverse + production sizes)."""
+    d = DistNTT(n, q, n1=n1)
+    n2 = n // n1
+    mesh = make_mesh(8, data=8)
+    rng = np.random.default_rng(6)
+    a = rng.integers(0, q, n, dtype=np.uint64)
+    b = rng.integers(0, q, n, dtype=np.uint64)
+    ga = tuple(p.reshape(n1, n2) for p in u64_from_np(a))
+    gb = tuple(p.reshape(n1, n2) for p in u64_from_np(b))
+    f = shard_map(
+        d.negacyclic_mul_local, mesh=mesh,
+        in_specs=((P(None, "data"), P(None, "data")),
+                  (P(None, "data"), P(None, "data"))),
+        out_specs=(P(None, "data"), P(None, "data")),
+    )
+    out = u64_to_np(jax.jit(f)(ga, gb)).reshape(n)
+    want = negacyclic_mul_np(a, b, q)
+    np.testing.assert_array_equal(out, want)
+
+
+def test_dist_poly_ring_matches_single_chip():
+    """DistPolyRing.multiply == PolyRing.multiply bit-exact at N=8192 on
+    the 8-device mesh (PolyRing-compatible wiring, VERDICT item 5)."""
+    from node_fhe_accelerate_tpu.parallel.dist_ring import DistPolyRing
+    from node_fhe_accelerate_tpu.parallel.mesh import make_mesh as mk
+
+    n, q = 8192, Primes.Q_40_1
+    mesh = mk(8, data=8)
+    ring = DistPolyRing(n, q, mesh=mesh)
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, q, (2, n), dtype=np.uint64)
+    b = rng.integers(0, q, (2, n), dtype=np.uint64)
+    got = ring.to_np(ring.multiply(ring.from_np(a), ring.from_np(b)))
+    single = NTTContext(n, q)
+    want = u64_to_np(jax.jit(single.negacyclic_mul)(
+        u64_from_np(a), u64_from_np(b)))
+    np.testing.assert_array_equal(got, want)
