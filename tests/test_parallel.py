@@ -34,3 +34,40 @@ def test_psum_mod_matches_host():
     # After allreduce every shard holds the same full sum.
     for d in range(8):
         np.testing.assert_array_equal(got[d], want)
+
+
+def test_sharded_pbs_matches_single_device():
+    """Batch-sharded PBS over the 8-device mesh == unsharded, bit-exact;
+    decodes correctly (VERDICT round-1 item 2)."""
+    from node_fhe_accelerate_tpu.core.bootstrap import TfheParams, TfheEngine
+    from node_fhe_accelerate_tpu.parallel.pbs import (
+        shard_lwe_batch, replicate_bsk, sharded_bootstrap_fn,
+    )
+
+    p = TfheParams(n_lwe=8, poly_degree=64, glwe_dim=1, pbs_base_log=7,
+                   pbs_level=3, ks_base_log=4, ks_level=8,
+                   lwe_noise_std=0.0, glwe_noise_std=0.0,
+                   plaintext_modulus=4)
+    eng = TfheEngine(p)
+    key = jax.random.PRNGKey(0)
+    lwe_sk = eng.lwe_keygen(jax.random.fold_in(key, 0))
+    glwe_sk = eng.glwe_keygen(jax.random.fold_in(key, 1))
+    bsk = eng.generate_bootstrap_key(jax.random.fold_in(key, 2),
+                                     lwe_sk, glwe_sk)
+    msgs = jnp.asarray(np.arange(16) % 2, jnp.uint32)
+    ct = eng.lwe_encrypt(jax.random.fold_in(key, 3), msgs, lwe_sk)
+    tp = eng.default_test_poly()
+
+    # single-device reference
+    ref = eng.bootstrap_jit(ct, bsk, tp)
+
+    mesh = make_mesh(8, data=8)
+    ct_sh = shard_lwe_batch(ct, mesh)
+    bsk_sh = replicate_bsk(bsk, mesh)
+    f = sharded_bootstrap_fn(eng, mesh)
+    out = f(ct_sh, bsk_sh, tp)
+
+    np.testing.assert_array_equal(np.asarray(out.a), np.asarray(ref.a))
+    np.testing.assert_array_equal(np.asarray(out.b), np.asarray(ref.b))
+    dec = np.asarray(eng.lwe_decrypt(out, lwe_sk))
+    np.testing.assert_array_equal(dec, np.asarray(msgs))
