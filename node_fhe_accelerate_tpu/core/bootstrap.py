@@ -67,6 +67,16 @@ def TFHE_BOOT_128() -> TfheParams:
     return TfheParams()
 
 
+def TFHE_BOOT_128_L2() -> TfheParams:
+    """Level-2 gadget (Bg=2^8, l=2): 33% less blind-rotate work than the
+    l=3/Bg=2^7 default at slightly higher (still comfortable) noise —
+    decomposition covers the top 16 bits, rounding error ~2^15 per
+    coefficient vs a Delta/2 = 2^29 decode margin at t=4.  Digits stay
+    int8 (|d| <= 128) and the int32 accumulation bound holds
+    (4096 * 128 * 128 = 2^26)."""
+    return TfheParams(pbs_base_log=8, pbs_level=2)
+
+
 @dataclass
 class LweCiphertext:
     """(a, b) with phase b - <a, s>  (bootstrap_engine.h:39-60)."""

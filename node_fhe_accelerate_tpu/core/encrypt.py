@@ -243,11 +243,23 @@ class EncryptionEngine:
                           key_id=a.key_id, is_ntt=a.is_ntt)
 
     def multiply(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        """Ciphertext multiply = real BFV multiply with t/q rescale.
+
+        Alias for :meth:`multiply_rescale` — the only composition under
+        which `decrypt` (which decodes at scale Delta) round-trips with
+        real noise.  The raw Delta^2 tensor product survives as
+        :meth:`multiply_raw` for phase-algebra tests.
+        """
+        return self.multiply_rescale(a, b)
+
+    def multiply_raw(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         """NTT tensor product -> degree-2 (encryption.cpp:737-799).
 
         Phase of the result is (Delta*m1 + e1)(Delta*m2 + e2) =
         Delta^2*m1*m2 + cross terms; callers follow with rescale() (correct
-        BFV) or decode at Delta^2 (exact when noise is zero).
+        BFV) or decode at Delta^2 (exact when noise is zero).  NOT the
+        public multiply: decrypt decodes at Delta, so use multiply /
+        multiply_rescale unless you are testing the phase algebra.
         """
         ring = self.ring
         if a.is_degree_2 or b.is_degree_2:
@@ -264,7 +276,7 @@ class EncryptionEngine:
                           key_id=a.key_id)
 
     def square(self, a: Ciphertext) -> Ciphertext:
-        return self.multiply(a, a)
+        return self.multiply_rescale(a, a)
 
     # -- correct BFV multiply (t/q rescale) ---------------------------------
     @property
@@ -322,7 +334,7 @@ class EncryptionEngine:
                           key_id=ct.key_id)
 
     def multiply_relin(self, a, b, rlk: RelinKey) -> Ciphertext:
-        return self.relinearize(self.multiply(a, b), rlk)
+        return self.relinearize(self.multiply_rescale(a, b), rlk)
 
     # -- voting primitives (encryption.h:613-693) ---------------------------
     def tally_votes(self, ballots: list) -> Ciphertext:

@@ -115,11 +115,21 @@ class KeyManager:
         self, key, sk: SecretKey,
         decomp_base_log: int = 0, decomp_level: int = 0,
     ) -> RelinKey:
-        """Encrypt s^2 * base^i per level (key_manager.cpp:266-330)."""
+        """Encrypt s^2 * base^i per level (key_manager.cpp:266-330).
+
+        The level count is raised to ceil(bits(q)/base_log) regardless of
+        the preset: relinearization digit-decomposes the full c2 mod q, and
+        any uncovered top bits of c2 turn into noise of size 2^uncovered *
+        ||s^2|| — instantly fatal.  (The reference reuses its TFHE
+        *bootstrap* gadget params baseLog=23/level=1 here, which covers 23
+        of 40 bits; its own multiply never round-trips with noise, so the
+        bug is invisible there.)"""
         params = self.params
         ring = self.ring
         base_log = decomp_base_log or params.decomp_base_log
         levels = decomp_level or params.decomp_level
+        q_bits = int(ring.q).bit_length()
+        levels = max(levels, -(-q_bits // base_log))
         base = 1 << base_log
 
         s2 = ring.multiply(sk.poly, sk.poly)

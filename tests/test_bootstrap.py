@@ -217,3 +217,21 @@ def test_bootstrap_with_noise(boot_setup):
     out = eng.bootstrap_jit(ct, bsk, eng.default_test_poly())
     dec = np.asarray(eng.lwe_decrypt(out, lwe_sk))
     np.testing.assert_array_equal(dec, np.asarray(msgs))
+
+
+def test_bootstrap_level2_gadget():
+    """Bg=2^8 / l=2 (TFHE_BOOT_128_L2 shape): cheaper blind rotate still
+    decodes correctly, including with input noise."""
+    p = tiny_params(pbs_base_log=8, pbs_level=2)
+    eng = TfheEngine(p)
+    key = jax.random.PRNGKey(29)
+    lwe_sk = eng.lwe_keygen(jax.random.fold_in(key, 0))
+    glwe_sk = eng.glwe_keygen(jax.random.fold_in(key, 1))
+    bsk = eng.generate_bootstrap_key(jax.random.fold_in(key, 2),
+                                     lwe_sk, glwe_sk)
+    msgs = jnp.array([0, 1, 1, 0], jnp.uint32)
+    ct = eng.lwe_encrypt(jax.random.fold_in(key, 3), msgs, lwe_sk,
+                         noise_std=float(2 ** 20))
+    out = eng.bootstrap_jit(ct, bsk, eng.default_test_poly())
+    dec = np.asarray(eng.lwe_decrypt(out, lwe_sk))
+    np.testing.assert_array_equal(dec, np.asarray(msgs))

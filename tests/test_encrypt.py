@@ -99,7 +99,7 @@ def test_tensor_multiply_relin_exact_phase(setup):
     c1 = eng.encrypt(jax.random.PRNGKey(5), m1, pk)
     c2 = eng.encrypt(jax.random.PRNGKey(6), m2, pk)
 
-    prod = eng.multiply(c1, c2)
+    prod = eng.multiply_raw(c1, c2)
     ph2 = u64_to_np(eng.phase(prod, sk))
     expected = np.zeros(eng.ring.n, dtype=np.uint64)
     expected[0] = (delta * m1 * delta * m2) % q
