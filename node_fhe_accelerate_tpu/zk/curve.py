@@ -202,14 +202,126 @@ class Curve:
         acc = self.infinity(batch)
         return jax.lax.fori_loop(0, n_steps, body, acc)
 
-    def msm(self, scalar_limbs, points, pad_pow2: bool = True):
-        """sum_i s_i * P_i: batched double-and-add + tree reduction.
+    # -- multi-scalar multiplication -----------------------------------------
+    def _msm_pippenger_impl(self, scalar_limbs, points, c: int = 8):
+        """Pippenger bucket MSM, redesigned for TPU (zk_elliptic_curve.h:193-254).
 
+        The classic formulation scatters points into 2^c buckets per window
+        — a data-dependent scatter-accumulate that is poison for XLA.  This
+        version gets identical bucket sums with only sorts, gathers and an
+        associative scan:
+
+          1. split every scalar into W = bits/c unsigned c-bit digits;
+          2. per window, sort the points by digit (argsort + gather);
+          3. a Hillis-Steele prefix scan of the (branchless, abelian) group
+             add over the sorted points gives all prefix sums C_i, batched
+             over every window at once — log2(n) full-width adds.  (A
+             masked `jnp.roll` inside `fori_loop` rather than
+             `lax.associative_scan`: the scan combine would be inlined
+             ~2*log2(n) times and each branchless add is thousands of HLO
+             ops, which blows XLA compile time; the fori body compiles the
+             add exactly once.);
+          4. the sum of points with digit <= k is C[e_k] where
+             e_k = searchsorted(digits, k, 'right') - 1, so the window sum
+             is   S_w = sum_j j*B_j = sum_j R_j  with suffix sums
+             R_j = C_tot - C[e_{j-1}]:
+             S_w = (2^c - 1)*C_tot  -  sum_{k=0}^{2^c-2} C[e_k]
+             — a 255-wide gather plus one tree reduction, no scatter;
+          5. Horner over windows: acc = 2^c * acc + S_w (c doubles + 1 add).
+
+        Group-op count is ~2nW + (2^c)W + bits, versus n*(bits/w_naive)*...
+        for the per-point windowed ladder — ~6x fewer field muls at n=4096,
+        with every add a wide batched VPU op.
+        """
+        f = self.fq
+        X, Y, Z = points
+        n, Ls = scalar_limbs.shape
+        per = 32 // c
+        W = Ls * per
+        nbuck = 1 << c
+
+        # 1. digits (n, W), window 0 = least significant
+        shifts = jnp.arange(per, dtype=jnp.uint32) * c
+        d = (scalar_limbs[..., None] >> shifts[None, None, :]) & (nbuck - 1)
+        digits = d.reshape(n, W)
+
+        # 2. per-window sort of points by digit
+        order = jnp.argsort(digits, axis=0)                    # (n, W)
+        dsort = jnp.take_along_axis(digits, order, axis=0)     # (n, W)
+        Xs = jnp.take(X, order, axis=0)                        # (n, W, L)
+        Ys = jnp.take(Y, order, axis=0)
+        Zs = jnp.take(Z, order, axis=0)
+
+        # 3. batched prefix sums of the group op over the point axis
+        Cx, Cy, Cz = self._prefix_scan_add((Xs, Ys, Zs))
+
+        # 4. gather C[e_k] for k = 0..2^c-2 per window
+        ks = jnp.arange(nbuck - 1, dtype=digits.dtype)          # (255,)
+        e = jax.vmap(lambda col: jnp.searchsorted(col, ks, side="right"),
+                     in_axes=1, out_axes=1)(dsort) - 1          # (255, W)
+        empty = e < 0
+        idx = jnp.maximum(e, 0)[..., None]                      # (255, W, 1)
+        Gx = jnp.take_along_axis(Cx, jnp.broadcast_to(idx, idx.shape[:2] + (Cx.shape[-1],)), axis=0)
+        Gy = jnp.take_along_axis(Cy, jnp.broadcast_to(idx, idx.shape[:2] + (Cy.shape[-1],)), axis=0)
+        Gz = jnp.take_along_axis(Cz, jnp.broadcast_to(idx, idx.shape[:2] + (Cz.shape[-1],)), axis=0)
+        Gz = jnp.where(empty[..., None], jnp.zeros_like(Gz), Gz)  # -> infinity
+
+        # sum the 255 gathered prefixes per window (negated): last element
+        # of another prefix scan (same single-add-instance trick)
+        sums = self._prefix_scan_add((Gx, f.neg(Gy), Gz))
+        negsum = (sums[0][-1], sums[1][-1], sums[2][-1])        # (W, L)
+
+        # (2^c - 1) * C_tot  =  2^c * C_tot - C_tot
+        ctot = (Cx[-1], Cy[-1], Cz[-1])
+        m = self._double_n(ctot, c)
+        m = self._add_impl(m, self.negate(ctot))
+        Sx, Sy, Sz = self._add_impl(m, negsum)                  # (W, L)
+
+        # 5. Horner over windows, most significant first
+        def body(i, acc):
+            w = W - 1 - i
+            acc = self._double_n(acc, c)
+            sw = (jax.lax.dynamic_index_in_dim(Sx, w, 0, keepdims=False),
+                  jax.lax.dynamic_index_in_dim(Sy, w, 0, keepdims=False),
+                  jax.lax.dynamic_index_in_dim(Sz, w, 0, keepdims=False))
+            return self._add_impl(acc, sw)
+
+        top = (Sx[-1], Sy[-1], Sz[-1])
+        return jax.lax.fori_loop(1, W, body, top)
+
+    def _double_n(self, p, k: int):
+        """[2^k]p via fori_loop — one compiled double instance, not k."""
+        return jax.lax.fori_loop(0, k, lambda _, q: self._double_impl(q), p)
+
+    def _prefix_scan_add(self, pts):
+        """Inclusive prefix sums of the group op along axis 0, batched over
+        trailing axes: Hillis-Steele with a masked roll, log2(n) iterations
+        of ONE compiled add.  Wrapped-around entries are masked to the
+        identity (Z = 0)."""
+        X, Y, Z = pts
+        n = X.shape[0]
+        steps = max(1, (n - 1).bit_length())
+        pos = jnp.arange(n).reshape((n,) + (1,) * (X.ndim - 1))
+
+        def body(i, acc):
+            ax, ay, az = acc
+            sh = jnp.int32(1) << i
+            sx = jnp.roll(ax, sh, axis=0)
+            sy = jnp.roll(ay, sh, axis=0)
+            sz = jnp.where(pos < sh, 0, jnp.roll(az, sh, axis=0))
+            return self._add_impl(acc, (sx, sy, sz))
+
+        return jax.lax.fori_loop(0, steps, body, (X, Y, Z))
+
+    def msm(self, scalar_limbs, points, pad_pow2: bool = True,
+            min_pippenger: int = 128):
+        """sum_i s_i * P_i.
+
+        Dispatches to the device Pippenger path (above) for batches >=
+        `min_pippenger`; small batches use per-point windowed ladders + a
+        tree reduction, which wins while the 2^c bucket overhead dominates.
         Pads the batch to the next power of two (zero scalars x infinity)
         so proof-system MSMs of ragged sizes share compiled shapes.
-        (The reference's `msm`/`msm_gpu` is Pippenger on CPU,
-        zk_elliptic_curve.h:193-254; a windowed Pippenger over these batched
-        primitives is the planned fast path.)
         """
         import numpy as _np
 
@@ -225,6 +337,13 @@ class Curve:
             points = (jnp.concatenate([points[0], inf[0]]),
                       jnp.concatenate([points[1], inf[1]]),
                       jnp.concatenate([points[2], inf[2]]))
+        if scalar_limbs.shape[0] >= min_pippenger:
+            jit_pip = getattr(self, "_jit_pippenger", None)
+            if jit_pip is None:
+                jit_pip = jax.jit(self._msm_pippenger_impl,
+                                  static_argnames=("c",))
+                self._jit_pippenger = jit_pip
+            return jit_pip(scalar_limbs, points)
         acc = self.scalar_mul(scalar_limbs, points)   # (B, ...) points
         X, Y, Z = acc
         while X.shape[0] > 1:

@@ -118,3 +118,32 @@ def test_msm_matches_sum(curve):
         want = aff_add(want, aff_mul(s, p, q, curve.b), q, curve.b)
     assert not ginf
     assert (int(gx), int(gy)) == want
+
+
+def test_msm_pippenger_matches_naive():
+    """Sorted-scan Pippenger == per-point ladder MSM at a real batch size
+    (random full-width scalars, mixed points incl. repeats/infinity)."""
+    curve = bn254_g1()
+    rng = np.random.default_rng(42)
+    n = 192
+    base = curve.generator((1,))
+    # points: k_i * G with small k via device scalar_mul (trusted above)
+    ks = [int(rng.integers(1, 1 << 16)) for _ in range(n)]
+    P = curve.scalar_mul(lb.limbs_from_ints(ks, 8),
+                         (base[0][0], base[1][0], base[2][0]))
+    # a few infinities in the batch exercise identity handling
+    infmask = np.zeros(n, bool)
+    infmask[[5, 77]] = True
+    Z = jnp.where(jnp.asarray(infmask)[:, None], jnp.zeros_like(P[2]), P[2])
+    P = (P[0], P[1], Z)
+    ss = [int.from_bytes(rng.bytes(32), "little") % curve.order
+          for _ in range(n)]
+    ss[9] = 0
+    s_limbs = lb.limbs_from_ints(ss, 8)
+    via_pip = jax.jit(curve._msm_pippenger_impl,
+                      static_argnames=("c",))(s_limbs, P)
+    via_naive = curve.msm(s_limbs, P, min_pippenger=1 << 30)
+    assert bool(np.asarray(curve.eq(via_pip, via_naive)))
+    # and the public dispatcher picks Pippenger at this size
+    via_msm = curve.msm(s_limbs, P)
+    assert bool(np.asarray(curve.eq(via_msm, via_naive)))
