@@ -28,7 +28,8 @@ I32 = jnp.int32
 
 __all__ = [
     "digits_from_int", "digits_from_ints", "digits_to_ints",
-    "conv_full_matrix", "conv_full", "exact_norm", "add_digits",
+    "conv_full_matrix", "conv_full", "conv_const", "conv_square",
+    "exact_norm", "add_digits",
     "sub_digits", "geq_digits", "is_zero_digits", "eq_digits", "select",
 ]
 
@@ -48,14 +49,15 @@ def digits_from_int(value: int, d: int):
 
 
 def digits_from_ints(values, d: int):
+    """Host ints (object array) -> (..., d) strict digit planes.
+
+    Bulk int.to_bytes is ~100x the per-digit indexing loop this replaces
+    (ZK circuit tables encode 10^5+ field elements at once)."""
     values = np.asarray(values, dtype=object)
-    out = np.empty(values.shape + (d,), dtype=np.int32)
-    it = np.nditer(values, flags=["multi_index", "refs_ok"])
-    for v in it:
-        x = int(v.item())
-        for i in range(d):
-            out[it.multi_index + (i,)] = (x >> (8 * i)) & 0xFF
-    return jnp.asarray(out)
+    buf = b"".join(int(v).to_bytes(d, "little")
+                   for v in values.reshape(-1))
+    out = np.frombuffer(buf, dtype=np.uint8).astype(np.int32)
+    return jnp.asarray(out.reshape(values.shape + (d,)))
 
 
 def digits_to_ints(arr) -> np.ndarray:
@@ -92,11 +94,17 @@ def conv_full_matrix(d: int, out_len: int):
 def conv_full(a, b, out_len: int | None = None):
     """Digit convolution columns of a*b: (..., out_len) int32, cols < 2^22.
 
-    a, b: strict digit arrays (..., D).  One grouped 1-D convolution in f32
-    (exact: every column sum is far below 2^24) — each batch element is its
-    own feature group so both operands vary per element.  A single XLA conv
-    primitive with no embedded constants keeps traces tiny and maps to the
-    TPU convolution/MXU path.
+    a, b: strict digit arrays (..., D).  Outer product + ONE constant
+    (D^2, out_len) f32 matmul at HIGHEST precision.  Every partial product
+    is <= 255^2 and every column sum < D * 255^2 < 2^22, well inside f32's
+    exact-integer range (2^24); precision=HIGHEST forces the full bf16x6
+    f32-emulation passes on the MXU so the matmul is bit-exact.
+
+    (History: this used to be one grouped `conv_general_dilated` with
+    feature_group_count = batch — tiny HLO, but TPU executes per-element
+    feature groups ~100x below peak.  The outer+matmul form runs the
+    column reduction on the MXU at matmul speed and is the same 3 HLO ops
+    per call, so compile time is unchanged.)
     """
     import math as _math
 
@@ -107,20 +115,87 @@ def conv_full(a, b, out_len: int | None = None):
     B = int(_math.prod(batch_shape)) if batch_shape else 1
     af = jnp.broadcast_to(a, batch_shape + (d,)).reshape(B, d)
     bf = jnp.broadcast_to(b, batch_shape + (d,)).reshape(B, d)
-    lhs = af.astype(jnp.float32)[None, :, :]          # (1, B, D)   N C W
-    rhs = bf.astype(jnp.float32)[:, None, ::-1]       # (B, 1, D)   O I W
-    out = jax.lax.conv_general_dilated(
-        lhs, rhs,
-        window_strides=(1,),
-        padding=[(d - 1, d - 1)],
-        feature_group_count=B,
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )[0]                                              # (B, 2D-1)
-    cols = out.astype(I32)
-    if out_len <= 2 * d - 1:
-        cols = cols[:, :out_len]
+    # shift-accumulate: column k gets sum_i a_i * b_{k-i}.  D fused
+    # mul+pad+add VPU ops — int32-exact, no (B, D^2) intermediate (an
+    # outer-product+band-matmul variant moves 2x B*D^2*4 bytes through HBM
+    # and runs the MXU at N=2D width; this form is pure elementwise and
+    # ~10x faster at large batch).
+    acc = None
+    for i in range(min(d, out_len)):
+        w = min(d, out_len - i)
+        term = af[:, i:i + 1] * bf[:, :w]
+        term = jnp.pad(term, ((0, 0), (i, out_len - i - w)))
+        acc = term if acc is None else acc + term
+    return acc.reshape(batch_shape + (out_len,))
+
+
+def conv_square(a, out_len: int | None = None):
+    """Digit convolution of a*a with the triangular halving
+    sum_k = a_k'^2-diag + 2 * sum_{i<j, i+j=k} a_i a_j — ~half the VPU
+    multiplies of conv_full(a, a)."""
+    d = a.shape[-1]
+    if out_len is None:
+        out_len = 2 * d
+    batch_shape = a.shape[:-1]
+    import math as _math
+    B = int(_math.prod(batch_shape)) if batch_shape else 1
+    af = a.reshape(B, d)
+    # diagonal a_i^2 lands at column 2i: interleave with zeros
+    sq = af * af
+    diag = jnp.stack([sq, jnp.zeros_like(sq)], axis=-1).reshape(B, 2 * d)
+    if out_len >= 2 * d:
+        acc = jnp.pad(diag, ((0, 0), (0, out_len - 2 * d)))
     else:
-        cols = jnp.pad(cols, ((0, 0), (0, out_len - (2 * d - 1))))
+        acc = diag[:, :out_len]
+    for i in range(min(d - 1, out_len)):
+        # j > i terms, doubled
+        w = min(d - (i + 1), out_len - (2 * i + 1))
+        if w <= 0:
+            continue
+        term = 2 * af[:, i:i + 1] * af[:, i + 1:i + 1 + w]
+        term = jnp.pad(term, ((0, 0), (2 * i + 1,
+                                       out_len - (2 * i + 1) - w)))
+        acc = acc + term
+    return acc.reshape(batch_shape + (out_len,))
+
+
+_toep_cache: dict = {}
+
+
+def conv_const(a, const_digits, out_len: int | None = None):
+    """Digit convolution against a CONSTANT operand — e.g. Montgomery's
+    m*q and (T mod R)*q' steps, where q/q' are fixed per field.
+
+    A constant operand turns the convolution into a genuine matmul:
+    cols = a @ Toeplitz(const), (B, D) x (D, out_len) in f32 at HIGHEST
+    precision (inputs <= 255, columns < 2^22 — exact).  This runs on the
+    MXU with a shared RHS, unlike the variable*variable case which is
+    inherently a batched rank-1 product and stays on the VPU.
+
+    const_digits: host numpy/jnp (D2,) strict digit array.
+    """
+    import math as _math
+
+    cd = np.asarray(const_digits, dtype=np.int64)
+    d = a.shape[-1]
+    d2 = cd.shape[0]
+    if out_len is None:
+        out_len = d + d2
+    key = (cd.tobytes(), d, out_len)
+    m = _toep_cache.get(key)
+    if m is None:
+        m = np.zeros((d, out_len), dtype=np.float32)
+        for i in range(d):
+            for j in range(d2):
+                if i + j < out_len:
+                    m[i, i + j] = float(cd[j])
+        _toep_cache[key] = m
+    batch_shape = a.shape[:-1]
+    B = int(_math.prod(batch_shape)) if batch_shape else 1
+    cols = jax.lax.dot_general(
+        a.reshape(B, d).astype(jnp.float32), jnp.asarray(m),
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST).astype(I32)
     return cols.reshape(batch_shape + (out_len,))
 
 

@@ -203,26 +203,43 @@ class BulletproofsProver:
             n = half
         return InnerProductProof(L=Ls, R=Rs, a=a[0], b=b[0])
 
-    # -- range proof (bulletproofs.cpp:575-743) ------------------------------
+    # -- range proof (bulletproofs.cpp:575-743; aggregated path :745+) -------
     def prove_range(self, value: int, blinding: int, n: int,
                     gens: BulletproofsGens) -> RangeProof:
-        if value < 0 or value >= (1 << n):
-            raise ValueError("value out of range")
-        if gens.n < n:
+        """Single-value proof == aggregated proof with m=1 (identical
+        transcript and formulas)."""
+        return self.prove_range_aggregated([value], [blinding], n, gens)
+
+    def prove_range_aggregated(self, values: list, blindings: list, n: int,
+                               gens: BulletproofsGens) -> RangeProof:
+        """One proof that every values[j] lies in [0, 2^n) — the standard
+        Bulletproofs aggregation (paper §4.3; reference: aggregated section
+        of bulletproofs.cpp and BallotValidityProof, bulletproofs.h:199).
+        Proof size grows only logarithmically in m = len(values)."""
+        m = len(values)
+        if m == 0 or m & (m - 1):
+            raise ValueError("number of values must be a power of two")
+        if len(blindings) != m:
+            raise ValueError("one blinding per value")
+        for v in values:
+            if v < 0 or v >= (1 << n):
+                raise ValueError("value out of range")
+        N = m * n
+        if gens.n < N:
             raise ValueError("not enough generators")
         c = self.curve
         r = self.r
         transcript = Transcript("Bulletproofs_RangeProof")
 
-        a_L = [(value >> i) & 1 for i in range(n)]
+        a_L = [(values[i // n] >> (i % n)) & 1 for i in range(N)]
         a_R = [(x - 1) % r for x in a_L]
-        s_L = [self.random_scalar() for _ in range(n)]
-        s_R = [self.random_scalar() for _ in range(n)]
+        s_L = [self.random_scalar() for _ in range(N)]
+        s_R = [self.random_scalar() for _ in range(N)]
         alpha = self.random_scalar()
         rho = self.random_scalar()
 
-        g_n = _slice(gens.g_vec, slice(0, n))
-        h_n = _slice(gens.h_vec, slice(0, n))
+        g_n = _slice(gens.g_vec, slice(0, N))
+        h_n = _slice(gens.h_vec, slice(0, N))
 
         A = c.msm(_scalars(a_L + a_R + [alpha]),
                   _stack_points([g_n, h_n, gens.H]))
@@ -233,17 +250,20 @@ class BulletproofsProver:
         transcript.append_point("S", S_a)
         y = transcript.challenge_field_element("y", r)
         z = transcript.challenge_field_element("z", r)
-        z2 = z * z % r
 
-        y_pow = _powers(y, n, r)
+        y_pow = _powers(y, N, r)
         two_pow = _powers(2, n, r)
+        # z^(1+j) per value j (1-indexed): z^2 for the first value — the
+        # m=1 case degenerates to the single-proof z^2 everywhere.
+        z_pow = _powers(z, m + 2, r)
         l0 = [(aL - z) % r for aL in a_L]
-        r0 = [(y_pow[i] * ((a_R[i] + z) % r) + z2 * two_pow[i]) % r
-              for i in range(n)]
-        t0 = sum(l0[i] * r0[i] for i in range(n)) % r
+        r0 = [(y_pow[i] * ((a_R[i] + z) % r)
+               + z_pow[2 + i // n] * two_pow[i % n]) % r
+              for i in range(N)]
+        t0 = sum(l0[i] * r0[i] for i in range(N)) % r
         t1 = sum(l0[i] * (y_pow[i] * s_R[i]) + s_L[i] * r0[i]
-                 for i in range(n)) % r
-        t2 = sum(s_L[i] * y_pow[i] * s_R[i] for i in range(n)) % r
+                 for i in range(N)) % r
+        t2 = sum(s_L[i] * y_pow[i] * s_R[i] for i in range(N)) % r
 
         tau1 = self.random_scalar()
         tau2 = self.random_scalar()
@@ -257,11 +277,13 @@ class BulletproofsProver:
         x = transcript.challenge_field_element("x", r)
         x2 = x * x % r
 
-        l_vec = [(l0[i] + s_L[i] * x) % r for i in range(n)]
-        r_vec = [(r0[i] + y_pow[i] * s_R[i] * x) % r for i in range(n)]
+        l_vec = [(l0[i] + s_L[i] * x) % r for i in range(N)]
+        r_vec = [(r0[i] + y_pow[i] * s_R[i] * x) % r for i in range(N)]
         t_hat = (t0 + t1 * x + t2 * x2) % r
-        tau_x = (tau2 * x2 + tau1 * x + z2 * blinding) % r
+        tau_x = (tau2 * x2 + tau1 * x
+                 + sum(z_pow[2 + j] * blindings[j] for j in range(m))) % r
         mu = (alpha + rho * x) % r
+        n = N
 
         # h' = h_i^(y^-i)
         y_inv = pow(y, -1, r)
@@ -285,19 +307,29 @@ class BulletproofsVerifier:
         self.curve = curve or bn254_g1()
         self.r = self.curve.order
 
-    def _delta(self, y, z, n):
-        """(z - z^2)<1, y^n> - z^3<1, 2^n> (bulletproofs.cpp:426-460)."""
+    def _delta(self, y, z, n, m=1):
+        """(z - z^2)<1, y^(mn)> - sum_j z^(3+j)<1, 2^n>
+        (bulletproofs.cpp:426-460; aggregated generalization)."""
         r = self.r
         z2 = z * z % r
-        z3 = z2 * z % r
-        sy = sum(_powers(y, n, r)) % r
+        z_pow = _powers(z, m + 3, r)
+        sy = sum(_powers(y, m * n, r)) % r
         s2 = (1 << n) - 1
-        return ((z - z2) * sy - z3 * s2) % r
+        return ((z - z2) * sy
+                - sum(z_pow[3 + j] * s2 for j in range(m))) % r
 
     def verify_range(self, commitment: PedersenCommitment, proof: RangeProof,
                      n: int, gens: BulletproofsGens) -> bool:
+        return self.verify_range_aggregated([commitment], proof, n, gens)
+
+    def verify_range_aggregated(self, commitments: list, proof: RangeProof,
+                                n: int, gens: BulletproofsGens) -> bool:
         c = self.curve
         r = self.r
+        m = len(commitments)
+        if m == 0 or m & (m - 1):
+            return False
+        N = m * n
         transcript = Transcript("Bulletproofs_RangeProof")
         transcript.append_point("A", proof.A)
         transcript.append_point("S", proof.S)
@@ -311,30 +343,35 @@ class BulletproofsVerifier:
         transcript.append_field_element("mu", proof.mu)
         w = transcript.challenge_field_element("w", r)
 
-        z2 = z * z % r
+        z_pow = _powers(z, m + 3, r)
         x2 = x * x % r
-        delta = self._delta(y, z, n)
+        delta = self._delta(y, z, n, m)
 
-        # t_hat*G + tau_x*H == z^2*V + delta*G + x*T1 + x^2*T2
+        # t_hat*G + tau_x*H == sum_j z^(2+j)*V_j + delta*G + x*T1 + x^2*T2
         T1 = c.from_affine_ints([proof.T1[0]], [proof.T1[1]])
         T2 = c.from_affine_ints([proof.T2[0]], [proof.T2[1]])
         lhs = c.msm(_scalars([proof.t_hat, proof.tau_x]),
                     _stack_points([c.generator(), gens.H]))
-        rhs = c.msm(_scalars([z2, delta, x, x2]),
-                    _stack_points([commitment.point, c.generator(), T1, T2]))
+        rhs = c.msm(
+            _scalars([z_pow[2 + j] for j in range(m)] + [delta, x, x2]),
+            _stack_points([cm.point for cm in commitments]
+                          + [c.generator(), T1, T2]))
         if not bool(np.asarray(c.eq(lhs, rhs))):
             return False
 
-        # P = A + x*S - z*sum(g_i) + sum((z*y^i + z^2*2^i) y^-i) h_i - mu*H
-        y_pow = _powers(y, n, r)
+        # P = A + x*S - z*sum(g_i)
+        #     + sum((z*y^i + z^(2+i//n)*2^(i%n)) y^-i) h_i - mu*H
+        y_pow = _powers(y, N, r)
         two_pow = _powers(2, n, r)
-        y_inv_pow = _powers(pow(y, -1, r), n, r)
-        g_n = _slice(gens.g_vec, slice(0, n))
-        h_n = _slice(gens.h_vec, slice(0, n))
+        y_inv_pow = _powers(pow(y, -1, r), N, r)
+        g_n = _slice(gens.g_vec, slice(0, N))
+        h_n = _slice(gens.h_vec, slice(0, N))
         h_prime = c.scalar_mul(_scalars(y_inv_pow), h_n)
         A = c.from_affine_ints([proof.A[0]], [proof.A[1]])
         S = c.from_affine_ints([proof.S[0]], [proof.S[1]])
-        h_scalars = [(z * y_pow[i] + z2 * two_pow[i]) % r for i in range(n)]
+        h_scalars = [(z * y_pow[i] + z_pow[2 + i // n] * two_pow[i % n]) % r
+                     for i in range(N)]
+        n = N
         # note h' scalars fold the y^-i into h_prime already
         P = c.msm(
             _scalars([1, x] + [(r - z) % r] * n + h_scalars

@@ -6,10 +6,10 @@ Twin of the reference's `zk_polynomial_commitment` stack
 * KZG: powers-of-tau SRS, commit = MSM over the SRS (device), open via the
   quotient polynomial (p(X) - p(z)) / (X - z).  The reference's verifier
   never implements a real pairing (its Groth16 "pairing" is structural,
-  groth16.cpp:1113-1139); here `verify_dev` checks the opening equation
-  exactly using the (test-only) trusted-setup secret, and `verify` raises
-  until the optimal-ate pairing lands (zk/pairing.py, planned) — an honest
-  NotImplementedError instead of a fake check.
+  groth16.cpp:1113-1139); here `verify` runs the genuine optimal-ate
+  pairing check e(W, [tau - z]_2) == e(C - [p(z)]_1, H) via zk/pairing.py,
+  and `verify_dev` is a fast test-only variant that uses the trusted-setup
+  secret directly.
 * FRI: Reed-Solomon fold-and-query over BN254 Fr with Poseidon-Merkle
   layer commitments; fully implemented (commit, round folding with
   transcript challenges, spot-check verification).
@@ -66,8 +66,7 @@ class KZGScheme:
         rng = np.random.default_rng(seed)
         tau = int.from_bytes(rng.bytes(40), "little") % self.r
         powers_int = [pow(tau, i, self.r) for i in range(max_degree + 1)]
-        g = self.curve.generator()
-        pts = self.curve.scalar_mul(_scalars(powers_int), g)
+        pts = self.curve.fixed_base_mul(powers_int)
         return KZGSetup(curve=self.curve, powers=pts,
                         max_degree=max_degree, tau=tau,
                         h2=G2_GENERATOR, tau_h2=g2_mul(G2_GENERATOR, tau))

@@ -29,6 +29,100 @@ __all__ = ["Curve", "bn254_g1", "bls12_381_g1", "Point"]
 Point = tuple  # (X, Y, Z) limb arrays; Z == 0 encodes infinity
 
 
+# ---------------------------------------------------------------------------
+# Host big-int Jacobian arithmetic (a = 0 curves)
+#
+# The device paths below are shaped for the TPU: thousands of branchless
+# point ops per fused program.  On the CPU test backend the same programs
+# pay ~minutes of XLA compile per shape and run far below Python big-int
+# speed, so `msm`/`fixed_base_mul` auto-route to these host kernels when
+# jax.default_backend() == "cpu" (never on TPU: any device->host transfer
+# poisons the axon dispatch path — docs/OPERATIONS.md).
+# ---------------------------------------------------------------------------
+
+
+_J_INF = (1, 1, 0)
+
+
+def _jdbl(q: int, P: tuple) -> tuple:
+    """dbl-2009-l for a=0 on host ints."""
+    X, Y, Z = P
+    if Z == 0:
+        return P
+    A = X * X % q
+    B = Y * Y % q
+    C = B * B % q
+    t = (X + B) % q
+    D = 2 * (t * t - A - C) % q
+    E = 3 * A % q
+    F = E * E % q
+    X3 = (F - 2 * D) % q
+    Y3 = (E * (D - X3) - 8 * C) % q
+    Z3 = 2 * Y * Z % q
+    return (X3, Y3, Z3)
+
+
+def _jadd(q: int, P: tuple, Q: tuple) -> tuple:
+    """add-2007-bl on host ints with explicit special cases."""
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    if Z1 == 0:
+        return Q
+    if Z2 == 0:
+        return P
+    Z1Z1 = Z1 * Z1 % q
+    Z2Z2 = Z2 * Z2 % q
+    U1 = X1 * Z2Z2 % q
+    U2 = X2 * Z1Z1 % q
+    S1 = Y1 * Z2 * Z2Z2 % q
+    S2 = Y2 * Z1 * Z1Z1 % q
+    if U1 == U2:
+        if S1 != S2:
+            return _J_INF
+        return _jdbl(q, P)
+    H = (U2 - U1) % q
+    I = 4 * H * H % q
+    J = H * I % q
+    rr = 2 * (S2 - S1) % q
+    V = U1 * I % q
+    X3 = (rr * rr - J - 2 * V) % q
+    Y3 = (rr * (V - X3) - 2 * S1 * J) % q
+    Z3 = ((Z1 + Z2) * (Z1 + Z2) - Z1Z1 - Z2Z2) % q * H % q
+    return (X3, Y3, Z3)
+
+
+def _host_pippenger(q: int, scalars: list, jac_pts: list, c: int = 8) -> tuple:
+    """Classic bucketed Pippenger over host ints (the direct analog of
+    zk_elliptic_curve.h:193-254, which the device path re-derives as
+    sort + prefix-scan)."""
+    nbuck = 1 << c
+    maxbits = max((s.bit_length() for s in scalars), default=1)
+    W = max(1, -(-maxbits // c))
+    acc = _J_INF
+    for w in range(W - 1, -1, -1):
+        if acc[2] != 0:
+            for _ in range(c):
+                acc = _jdbl(q, acc)
+        shift = w * c
+        buckets = [None] * nbuck
+        for s, P in zip(scalars, jac_pts):
+            if P[2] == 0:
+                continue
+            d = (s >> shift) & (nbuck - 1)
+            if d:
+                buckets[d] = P if buckets[d] is None \
+                    else _jadd(q, buckets[d], P)
+        run = _J_INF
+        s_w = _J_INF
+        for k in range(nbuck - 1, 0, -1):
+            if buckets[k] is not None:
+                run = _jadd(q, run, buckets[k])
+            if run[2] != 0:
+                s_w = _jadd(q, s_w, run)
+        acc = _jadd(q, acc, s_w)
+    return acc
+
+
 class Curve:
     """y^2 = x^3 + b over fq; scalar field order r."""
 
@@ -45,6 +139,7 @@ class Curve:
         self.scalar_mul = jax.jit(self._scalar_mul_impl,
                                   static_argnames=("window",))
         self.eq = jax.jit(self._eq_impl)
+        self._fb_tables: dict = {}      # host fixed-base window tables
 
     # -- construction --------------------------------------------------------
     def generator(self, batch=()):
@@ -66,15 +161,35 @@ class Curve:
         return (X, Y, Z)
 
     def to_affine_ints(self, p) -> tuple:
-        """Host: decode to (x, y) int arrays; infinity -> (None entries)."""
-        X, Y, Z = p
-        f = self.fq
-        zinv = f.inv(Z)
-        zinv2 = f.square(zinv)
-        x = f.decode(f.mul(X, zinv2))
-        y = f.decode(f.mul(Y, f.mul(zinv2, zinv)))
-        inf = np.asarray(self.is_infinity(p))
-        return x, y, inf
+        """Host: decode to (x, y) int arrays + infinity flags.
+
+        The result is host data by definition, so the Z-inversions run on
+        host too (Montgomery batch trick, one modexp total) — a device
+        f.inv would add a ~254-round compile per input shape for work that
+        ends in a host fetch anyway."""
+        q = self.fq.q
+        jac = self._points_to_host(p)
+        nz = [pz if pz else 1 for (_, _, pz) in jac]
+        prefix = [1] * (len(nz) + 1)
+        for i, z in enumerate(nz):
+            prefix[i + 1] = prefix[i] * z % q
+        inv_all = pow(prefix[-1], -1, q)
+        xs = np.zeros(len(jac), dtype=object)
+        ys = np.zeros(len(jac), dtype=object)
+        inf = np.zeros(len(jac), dtype=bool)
+        for i in range(len(jac) - 1, -1, -1):
+            zi = prefix[i] * inv_all % q
+            inv_all = inv_all * nz[i] % q
+            X, Y, Z = jac[i]
+            if Z == 0:
+                inf[i] = True
+            else:
+                zi2 = zi * zi % q
+                xs[i] = X * zi2 % q
+                ys[i] = Y * zi2 % q * zi % q
+        if p[0].ndim == 1:                   # unbatched single point
+            return xs.reshape(()), ys.reshape(()), inf.reshape(())
+        return xs, ys, inf
 
     def is_infinity(self, p):
         return self.fq.is_zero(p[2])
@@ -313,17 +428,123 @@ class Curve:
 
         return jax.lax.fori_loop(0, steps, body, (X, Y, Z))
 
+    # -- host <-> device point conversion -------------------------------------
+    def _scalars_to_ints(self, scalar_limbs) -> list:
+        arr = np.asarray(scalar_limbs, dtype=np.uint32)
+        out = []
+        for row in arr.reshape(-1, arr.shape[-1]):
+            s = 0
+            for i, v in enumerate(row):
+                s |= int(v) << (32 * i)
+            out.append(s)
+        return out
+
+    def _points_to_host(self, pts) -> list:
+        """Device Montgomery planes -> Jacobian host int tuples."""
+        f = self.fq
+        X = np.atleast_1d(f.decode(pts[0]))
+        Y = np.atleast_1d(f.decode(pts[1]))
+        Z = np.atleast_1d(f.decode(pts[2]))
+        return [(int(x), int(y), int(z)) for x, y, z in zip(X, Y, Z)]
+
+    def _points_from_host(self, jac_list: list):
+        """Jacobian host int tuples -> (n,) device Montgomery planes
+        (batch Z-inversion with the Montgomery trick: one modexp)."""
+        q = self.fq.q
+        zs = [p[2] for p in jac_list]
+        nz = [z if z else 1 for z in zs]
+        prefix = [1] * (len(nz) + 1)
+        for i, z in enumerate(nz):
+            prefix[i + 1] = prefix[i] * z % q
+        inv_all = pow(prefix[-1], -1, q)
+        xs, ys, zflags = [0] * len(zs), [0] * len(zs), [0] * len(zs)
+        for i in range(len(nz) - 1, -1, -1):
+            zi = prefix[i] * inv_all % q
+            inv_all = inv_all * nz[i] % q
+            X, Y, Z = jac_list[i]
+            if Z == 0:
+                xs[i] = ys[i] = 1          # matches infinity(): X=Y=1, Z=0
+            else:
+                zi2 = zi * zi % q
+                xs[i] = X * zi2 % q
+                ys[i] = Y * zi2 % q * zi % q
+                zflags[i] = 1
+        f = self.fq
+        return (f.encode(xs), f.encode(ys), f.encode(zflags))
+
+    def fixed_base_mul(self, scalars, base_affine: tuple | None = None,
+                       backend: str | None = None):
+        """[s_i]B for one shared base point -> (n,) device points.
+
+        scalars: host ints.  On the CPU backend this runs on host with a
+        cached 8-bit-window fixed-base table (the shared base makes every
+        scalar cost <= 32 additions); on TPU it is the batched device
+        ladder (one fused program for all n scalars)."""
+        if base_affine is None:
+            base_affine = self.gen_affine
+        if backend is None:
+            backend = "host" if jax.default_backend() == "cpu" else "device"
+        scalars = [int(s) % self.order for s in scalars]
+        if backend == "device":
+            g = self.from_affine_ints([base_affine[0]], [base_affine[1]])
+            return self.scalar_mul(lb.limbs_from_ints(scalars, 8),
+                                   (g[0][0], g[1][0], g[2][0]))
+        q = self.fq.q
+        tbl = self._fb_tables.get(base_affine)
+        if tbl is None:
+            # tbl[w][d] = [d * 256^w] B, built with ~32*255 additions
+            tbl = []
+            P = (base_affine[0], base_affine[1], 1)
+            for _ in range(32):
+                row = [_J_INF] * 256
+                acc = _J_INF
+                for d in range(1, 256):
+                    acc = _jadd(q, acc, P)
+                    row[d] = acc
+                tbl.append(row)
+                P = _jadd(q, acc, P)            # [256] B_w
+            self._fb_tables[base_affine] = tbl
+        out = []
+        for s in scalars:
+            acc = _J_INF
+            w = 0
+            while s:
+                d = s & 255
+                if d:
+                    acc = _jadd(q, acc, tbl[w][d])
+                s >>= 8
+                w += 1
+            out.append(acc)
+        return self._points_from_host(out)
+
     def msm(self, scalar_limbs, points, pad_pow2: bool = True,
-            min_pippenger: int = 128):
+            min_pippenger: int = 128, backend: str | None = None):
         """sum_i s_i * P_i.
 
-        Dispatches to the device Pippenger path (above) for batches >=
-        `min_pippenger`; small batches use per-point windowed ladders + a
-        tree reduction, which wins while the 2^c bucket overhead dominates.
-        Pads the batch to the next power of two (zero scalars x infinity)
-        so proof-system MSMs of ragged sizes share compiled shapes.
+        Backend dispatch: on the CPU test backend (and never under a jit
+        trace) the sum runs as a classic host big-int Pippenger — the
+        device program pays minutes of XLA:CPU compile per shape and still
+        runs slower than Python ints.  On TPU it dispatches to the device
+        Pippenger path (above) for batches >= `min_pippenger`; small
+        batches use per-point windowed ladders + a tree reduction, which
+        wins while the 2^c bucket overhead dominates.  Pads the batch to
+        the next power of two (zero scalars x infinity) so proof-system
+        MSMs of ragged sizes share compiled shapes.
         """
         import numpy as _np
+
+        if backend is None:
+            traced = isinstance(scalar_limbs, jax.core.Tracer) or \
+                isinstance(points[0], jax.core.Tracer)
+            backend = "host" if (not traced
+                                 and jax.default_backend() == "cpu") \
+                else "device"
+        if backend == "host":
+            svals = self._scalars_to_ints(scalar_limbs)
+            jac = self._points_to_host(points)
+            res = _host_pippenger(self.fq.q, svals, jac)
+            X, Y, Z = self._points_from_host([res])
+            return (X[0], Y[0], Z[0])
 
         n = scalar_limbs.shape[0]
         if pad_pow2 and n & (n - 1):

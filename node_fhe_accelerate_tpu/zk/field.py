@@ -41,8 +41,17 @@ class Field:
         R = 1 << (8 * n_digits)
         self.r_mod_q = R % q
         self.r2_mod_q = R * R % q
-        self.q_digits = dg.digits_from_int(q, n_digits)
-        self.np_digits = dg.digits_from_int((-pow(q, -1, R)) % R, n_digits)
+        self.r_inv_mod_q = pow(self.r_mod_q, -1, q)
+        # host digit arrays FIRST (never np.asarray a device array here: a
+        # single device->host fetch flips the axon tunnel into a ~4ms/
+        # dispatch synchronous mode for the rest of the process)
+        qp = (-pow(q, -1, R)) % R
+        self._q_digits_np = np.array(
+            [(q >> (8 * i)) & 0xFF for i in range(n_digits)], np.int32)
+        self._np_digits_np = np.array(
+            [(qp >> (8 * i)) & 0xFF for i in range(n_digits)], np.int32)
+        self.q_digits = jnp.asarray(self._q_digits_np)
+        self.np_digits = jnp.asarray(self._np_digits_np)
         self.one_mont = dg.digits_from_int(self.r_mod_q, n_digits)
         self.zero = dg.digits_from_int(0, n_digits)
 
@@ -54,15 +63,21 @@ class Field:
         return dg.digits_from_ints(scaled, self.n_limbs)
 
     def decode(self, arr) -> np.ndarray:
-        """Montgomery-form digit array -> object array of ints."""
-        return dg.digits_to_ints(self.from_mont(arr))
+        """Montgomery-form digit array -> object array of ints.
+
+        The Montgomery un-scaling runs on host (one big-int multiply per
+        element) — the device->host fetch is unavoidable here anyway, and
+        a device from_mont would cost an XLA compile per input shape."""
+        return dg.digits_to_ints(np.asarray(arr)) \
+            * self.r_inv_mod_q % self.q
 
     def to_mont_host(self, x: int):
         return dg.digits_from_int(x % self.q * self.r_mod_q % self.q,
                                   self.n_limbs)
 
     def from_mont_int(self, arr) -> int:
-        return int(dg.digits_to_ints(self.from_mont(arr)))
+        return int(dg.digits_to_ints(np.asarray(arr))
+                   * self.r_inv_mod_q % self.q)
 
     # -- ring ops ------------------------------------------------------------
     def add(self, a, b):
@@ -80,25 +95,33 @@ class Field:
         return dg.select(dg.is_zero_digits(a), z, self.sub(z, a))
 
     def mul(self, a, b):
-        """Montgomery product: 3 MXU convolutions + carries.
+        """Montgomery product: one variable digit conv (VPU) + two
+        constant-Toeplitz MXU matmuls + log-depth carries.
 
         T = a*b; m = (T mod R) * q' mod R; t = (T + m*q) / R < 2q; then one
-        conditional subtract -> canonical.
+        conditional subtract -> canonical.  The q'/q convolutions have a
+        constant operand, so they run as f32 matmuls on the MXU
+        (dg.conv_const) — only the a*b product pays the batched rank-1
+        VPU cost.
         """
+        return self._reduce(dg.conv_full(a, b, 2 * self.n_limbs))
+
+    def square(self, a):
+        """Montgomery square: triangular conv (~half the VPU multiplies)."""
+        return self._reduce(dg.conv_square(a, 2 * self.n_limbs))
+
+    def _reduce(self, t_cols):
+        """Montgomery-reduce full product columns to a canonical element."""
         D = self.n_limbs
-        t_cols = dg.conv_full(a, b, 2 * D)
         T, _ = dg.exact_norm(t_cols)
-        m_cols = dg.conv_full(T[..., :D], self.np_digits, D)
+        m_cols = dg.conv_const(T[..., :D], self._np_digits_np, D)
         m, _ = dg.exact_norm(m_cols)
-        u_cols = dg.conv_full(m, self.q_digits, 2 * D)
+        u_cols = dg.conv_const(m, self._q_digits_np, 2 * D)
         U, _ = dg.exact_norm(u_cols)
         S, _ = dg.add_digits(T, U)
         t = S[..., D:]                       # low D digits are exactly zero
         d, ge = dg.sub_digits(t, self.q_digits)
         return dg.select(ge, d, t)
-
-    def square(self, a):
-        return self.mul(a, a)
 
     def from_mont(self, a):
         one = jnp.zeros_like(a).at[..., 0].set(1)

@@ -91,8 +91,16 @@ class FrNtt:
             self._inv_tw.append(self._enc2(ipsis[m: 2 * m]))
         self._d_inv_c = field.encode([self.d_inv])[0]
         # natural <-> bit-reversed placement (an involution)
-        self._brev = jnp.asarray(
-            np.array([_bit_reverse(j, logd) for j in range(d)], np.int32))
+        self._brev_np = np.array([_bit_reverse(j, logd) for j in range(d)],
+                                 np.int32)
+        self._brev = jnp.asarray(self._brev_np)
+        # integer twiddles for the host big-int twin (used on the CPU
+        # backend, where XLA compile of the device pipeline costs minutes)
+        self._fwd_tw_int = [np.array(psis[1 << s: 2 << s], dtype=object)
+                            for s in range(logd)]
+        self._inv_tw_int = [
+            np.array(ipsis[d >> (s + 1): d >> s], dtype=object)
+            for s in range(logd)]
 
     def _enc2(self, vals):
         """(m,) ints -> (m, 1, L) Montgomery planes for broadcast over t."""
@@ -145,3 +153,42 @@ class FrNtt:
         fa = self.forward(a)
         fb = self.forward(b)
         return self.inverse(self.f.mul(fa, fb))
+
+    # -- host big-int twins (same algorithm over numpy object arrays) --------
+    def forward_ints(self, a):
+        """(d,) object ints, natural coeffs -> bit-reversed evaluations."""
+        q, d = self.f.q, self.d
+        a = np.asarray(a, dtype=object)
+        for s in range(self.logd):
+            m = 1 << s
+            t = d >> (s + 1)
+            r = a.reshape(m, 2, t)
+            u, v = r[:, 0, :], r[:, 1, :]
+            wv = v * self._fwd_tw_int[s][:, None] % q
+            a = np.stack([(u + wv) % q, (u - wv) % q], axis=1).reshape(d)
+        return a
+
+    def inverse_ints(self, a):
+        """bit-reversed evaluations -> natural coeffs."""
+        q, d = self.f.q, self.d
+        a = np.asarray(a, dtype=object)
+        for s in range(self.logd):
+            t = 1 << s
+            m = d >> (s + 1)
+            r = a.reshape(m, 2, t)
+            u, v = r[:, 0, :], r[:, 1, :]
+            top = (u + v) % q
+            bot = (u - v) * self._inv_tw_int[s][:, None] % q
+            a = np.stack([top, bot], axis=1).reshape(d)
+        return a * self.d_inv % q
+
+    def evaluate_ints(self, coeffs):
+        return self.forward_ints(coeffs)[self._brev_np]
+
+    def interpolate_ints(self, evals):
+        return self.inverse_ints(np.asarray(evals, object)[self._brev_np])
+
+    def negacyclic_mul_ints(self, a, b):
+        fa = self.forward_ints(a)
+        fb = self.forward_ints(b)
+        return self.inverse_ints(fa * fb % self.f.q)

@@ -67,12 +67,16 @@ class PoseidonHash:
                 limbs[3] >>= 1
             consts.append(elem)
         rounds = self.full_rounds + self.partial_rounds
+        # integer forms kept for the R1CS gadget (zk/circuits.py)
+        self.round_constants_int = [
+            consts[r * self.t:(r + 1) * self.t] for r in range(rounds)]
         # (rounds, t) field elements in Montgomery digit form
         self.round_constants = self.f.encode(
             np.array(consts, dtype=object).reshape(rounds, self.t))
         # Cauchy MDS: M[i][j] = 1 / (i + t + j + 1)
         mds = [[pow(i + self.t + j + 1, -1, q) for j in range(self.t)]
                for i in range(self.t)]
+        self.mds_int = mds
         self.mds = self.f.encode(np.array(mds, dtype=object))
 
     # -- permutation ---------------------------------------------------------

@@ -12,6 +12,13 @@ Python big-int arithmetic over the Fq12 extension (the generic polynomial
 representation with modulus w^12 - 18 w^6 + 82, the standard BN254 tower
 flattening).  Prover-side bulk work (MSMs) stays on device in zk/curve.py.
 
+Attribution: the Miller-loop structure (linefunc over Fq12, twist/untwist
+into E(Fq12), final exponentiation by (p^12-1)/r) follows the public
+py_ecc bn128 implementation (github.com/ethereum/py_ecc, MIT license) —
+the standard textbook formulation of the BN254 optimal-ate pairing.  The
+code here is written fresh against that algorithmic shape; constants are
+the universal alt_bn128 parameters.
+
 Checked against bilinearity and the standard generator pairing identities in
 tests/test_pairing.py.
 """
@@ -225,6 +232,111 @@ def g2_mul(pt, k: int):
         base = g2_double(base)
         k >>= 1
     return acc
+
+
+# -- Jacobian G2 + host Pippenger MSM ----------------------------------------
+# The prover's B-in-G2 is an MSM over every circuit wire; per-point affine
+# g2_mul (one Fq2 inversion PER ADD) is minutes at 2^13 wires.  Jacobian
+# coordinates (inversion-free) + bucketed Pippenger bring it to seconds.
+# G1's MSM runs on device (curve.py); G2 stays host because Fq2 digit-plane
+# arithmetic isn't implemented (yet) — same split as the reference, whose
+# G2 is CPU-only (zk_elliptic_curve.cpp).
+
+def _g2j_double(P):
+    X, Y, Z = P
+    A = X * X
+    B = Y * Y
+    C = B * B
+    t = X + B
+    D = t * t - A - C
+    D = D + D
+    E = A + A + A
+    X3 = E * E - D - D
+    eight_c = C + C
+    eight_c = eight_c + eight_c
+    eight_c = eight_c + eight_c
+    Y3 = E * (D - X3) - eight_c
+    Z3 = (Y + Y) * Z
+    return (X3, Y3, Z3)
+
+
+_FQ2_ZERO = FQ2([0, 0])
+_FQ2_ONE = FQ2([1, 0])
+
+
+def _g2j_add(P, Q):
+    if P is None:
+        return Q
+    if Q is None:
+        return P
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    Z1Z1 = Z1 * Z1
+    Z2Z2 = Z2 * Z2
+    U1 = X1 * Z2Z2
+    U2 = X2 * Z1Z1
+    S1 = Y1 * Z2 * Z2Z2
+    S2 = Y2 * Z1 * Z1Z1
+    if U1 == U2:
+        if S1 == S2:
+            return _g2j_double(P)
+        return None
+    H = U2 - U1
+    rr = S2 - S1
+    rr = rr + rr
+    I = H + H
+    I = I * I
+    J = H * I
+    V = U1 * I
+    X3 = rr * rr - J - V - V
+    S1J = S1 * J
+    Y3 = rr * (V - X3) - S1J - S1J
+    Z3 = ((Z1 + Z2) * (Z1 + Z2) - Z1Z1 - Z2Z2) * H
+    return (X3, Y3, Z3)
+
+
+def _g2j_from_affine(pt):
+    return None if pt is None else (pt[0], pt[1], _FQ2_ONE)
+
+
+def _g2j_to_affine(P):
+    if P is None:
+        return None
+    X, Y, Z = P
+    zinv = _FQ2_ONE / Z
+    zi2 = zinv * zinv
+    return (X * zi2, Y * zi2 * zinv)
+
+
+def g2_msm(points, scalars, c: int = 8):
+    """sum_i scalars[i] * points[i] over G2: host Pippenger, Jacobian
+    buckets.  points: affine-or-None list; scalars: ints mod R."""
+    n = len(points)
+    assert len(scalars) == n
+    jac = [_g2j_from_affine(p) for p in points]
+    ss = [s % R for s in scalars]
+    nbits = R.bit_length()
+    W = -(-nbits // c)
+    acc = None
+    for w in range(W - 1, -1, -1):
+        if acc is not None:
+            for _ in range(c):
+                acc = _g2j_double(acc)
+        buckets = [None] * (1 << c)
+        shift = w * c
+        for p, s in zip(jac, ss):
+            if p is None:
+                continue
+            d = (s >> shift) & ((1 << c) - 1)
+            if d:
+                buckets[d] = _g2j_add(buckets[d], p)
+        run = None
+        tot = None
+        for d in range((1 << c) - 1, 0, -1):
+            run = _g2j_add(run, buckets[d])
+            tot = _g2j_add(tot, run)
+        acc = _g2j_add(acc, tot)
+    return _g2j_to_affine(acc)
 
 
 # ---------------------------------------------------------------------------

@@ -1,4 +1,5 @@
-"""PLONK over BN254 with KZG commitments and the real pairing.
+"""PLONK over BN254 with KZG commitments, the real pairing, and DEVICE
+polynomial arithmetic.
 
 Twin of the reference's PLONK stack (cpp/include/plonk.h:147-869,
 cpp/src/plonk.cpp): gate constraint system q_L a + q_R b + q_O c +
@@ -6,24 +7,47 @@ q_M a b + q_C + PI = 0, copy constraints via the grand-product permutation
 argument, KZG-committed witness/permutation/quotient polynomials, and a
 `TallyCorrectnessCircuit` helper (plonk.h:463).
 
+TPU-native prover pipeline (replaces the round-1 O(n^2) host Lagrange
+math, VERDICT item 8):
+
+* the evaluation domain is the NEGACYCLIC point set x_j = psi^(2j+1)
+  (roots of X^n + 1), which is closed under multiplication by
+  omega = psi^2 — so it supports the z(omega*X) shift exactly like the
+  classic cyclic domain, while the vanishing polynomial becomes
+  Z_H(X) = X^n + 1 and Lagrange values get the closed form
+  L_j(X) = Z_H(X) * x_j * (-1/n) / (X - x_j)  (see zk/fr_ntt.py);
+* interpolation/evaluation = device Fr NTT (zk/fr_ntt.py) over 8-bit
+  digit planes (zk/field.py);
+* the quotient numerator gate + alpha*perm + alpha^2*bound is assembled
+  ELEMENTWISE in evaluation form over the 4n-point extension domain (all
+  factor polynomials have degree < n, the numerator degree <= 4n-1, so
+  nothing wraps), then one inverse NTT gives its coefficients;
+* division by Z_H = X^n + 1 is three block subtractions on device
+  (num = q*(X^n+1) + rem  <=>  q2 = b3, q1 = b2-q2, q0 = b1-q1,
+  rem = b0-q0 on the n-wide coefficient blocks), with an on-device
+  rem == 0 check;
+* the grand product z runs on host big ints with ONE modular inversion
+  (Montgomery batch trick) — O(n) multiplies;
+* commitments are device Pippenger MSMs (zk/commitments.py KZG).
+
 Simplifications vs production PLONK, chosen for clarity not fakery (the
 reference's prover is itself "simplified", plonk.cpp:219-230, and its
-pairing is structural): no linearization polynomial — the prover opens every
-committed polynomial at the challenge point and the verifier checks the
-full scalar identity plus one KZG opening per evaluation (batched openings
-are a planned optimization).  All checks are sound: each opening is a real
-KZG pairing check (zk/commitments.py, zk/pairing.py).
-
-Host big-int polynomial arithmetic (circuits are small); commitments are
-device MSMs through KZGScheme.
+pairing is structural): no linearization polynomial — the prover opens
+every committed polynomial at the challenge point and the verifier checks
+the full scalar identity plus one KZG opening per evaluation.  All checks
+are sound: each opening is a real KZG pairing check (zk/commitments.py,
+zk/pairing.py).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dfield
+from dataclasses import dataclass
 
 import numpy as np
+import jax
+import jax.numpy as jnp
 
-from .field import BN254_FR as R
+from .field import BN254_FR as R, bn254_fr
+from .fr_ntt import FrNtt
 from .commitments import KZGScheme, KZGSetup, _poly_eval
 from .hashes import Transcript
 from .curve import bn254_g1
@@ -32,21 +56,8 @@ from .rand import ScalarRng
 __all__ = ["PlonkCircuit", "PlonkSetup", "PlonkProof", "PlonkProver",
            "PlonkVerifier", "tally_correctness_circuit"]
 
-# 2-adic root machinery
-_TWO_ADICITY = 28
-_GEN = 5
-_ROOT = pow(_GEN, (R - 1) >> _TWO_ADICITY, R)
-
 K1 = 2   # coset shifts for the permutation argument
 K2 = 3
-
-
-def _domain(n: int) -> list:
-    w = pow(_ROOT, 1 << (_TWO_ADICITY - n.bit_length() + 1), R)
-    out = [1]
-    for _ in range(n - 1):
-        out.append(out[-1] * w % R)
-    return out
 
 
 @dataclass
@@ -119,16 +130,162 @@ def tally_correctness_circuit(num_ballots: int) -> tuple:
     return c, ballots, total
 
 
+# ---------------------------------------------------------------------------
+# Device domain: negacyclic Fr NTT + the jitted prover pipelines
+# ---------------------------------------------------------------------------
+
+
+_DOMAINS: dict = {}
+
+
+def _get_domain(n: int) -> "_Domain":
+    d = _DOMAINS.get(n)
+    if d is None:
+        d = _Domain(n)
+        _DOMAINS[n] = d
+    return d
+
+
+class _Domain:
+    """Size-n negacyclic evaluation domain with jitted interpolate /
+    quotient pipelines (shared across setups of the same size)."""
+
+    def __init__(self, n: int):
+        f = bn254_fr()
+        self.f = f
+        self.n = n
+        self.ntt = FrNtt(f, n)
+        self.ntt4 = FrNtt(f, 4 * n)
+        self.points = self.ntt.points           # x_j = psi^(2j+1)
+        self.omega = self.ntt.psi * self.ntt.psi % R
+        # H, K1*H, K2*H must be pairwise disjoint: k^n == 1 would fold a
+        # coset back onto H (x^n is constant on each coset).
+        for k in (K1, K2, K2 * pow(K1, -1, R) % R):
+            if pow(k, n, R) == 1:
+                raise ValueError("coset shift collides with the domain")
+
+        # constant planes for the quotient pipeline
+        pts4 = self.ntt4.points[:]
+        self._x4 = f.encode(pts4)                         # X on 4n domain
+        self._k1x4 = f.encode([K1 * x % R for x in pts4])
+        self._k2x4 = f.encode([K2 * x % R for x in pts4])
+        self._omega_pows = f.encode(
+            [pow(self.omega, i, R) for i in range(n)])    # z(omega X) scale
+        self._one = f.encode([1])[0]
+
+        self._interp_j = jax.jit(self.ntt.interpolate)
+        self._quot_j = jax.jit(self._quotient)
+
+    # -- host <-> device ------------------------------------------------------
+    def encode_vals(self, values):
+        return self.f.encode([v % R for v in values])
+
+    def interp_ints(self, values) -> list:
+        """Domain values (host ints) -> coefficient ints via device NTT."""
+        co = self._interp_j(self.encode_vals(values))
+        return [int(x) for x in self.f.decode(co)]
+
+    # -- quotient pipeline (one jitted program) -------------------------------
+    def _eval4(self, coeffs):
+        """(m, L) coefficient planes, m <= 4n -> values on the 4n domain."""
+        f, n4 = self.f, 4 * self.n
+        m = coeffs.shape[-2]
+        pad = jnp.zeros((n4 - m,) + coeffs.shape[-1:], coeffs.dtype)
+        return self.ntt4.evaluate(jnp.concatenate([coeffs, pad], axis=-2))
+
+    def _quotient(self, a_c, b_c, c_c, z_c, pi_c, l1_c, sel_c, sig_c,
+                  beta, gamma, alpha):
+        """Coefficient planes -> (t coefficient planes (3n, L), rem_ok).
+
+        sel_c: (5, n, L) ql,qr,qo,qm,qc; sig_c: (3, n, L)."""
+        f, n = self.f, self.n
+        zw_c = f.mul(z_c, self._omega_pows)     # z(omega X) coefficients
+
+        a4 = self._eval4(a_c)
+        b4 = self._eval4(b_c)
+        c4 = self._eval4(c_c)
+        z4 = self._eval4(z_c)
+        zw4 = self._eval4(zw_c)
+        pi4 = self._eval4(pi_c)
+        l14 = self._eval4(l1_c)
+        ql4, qr4, qo4, qm4, qc4 = (self._eval4(sel_c[i]) for i in range(5))
+        s14, s24, s34 = (self._eval4(sig_c[i]) for i in range(3))
+
+        gate = f.add(
+            f.add(f.add(f.mul(ql4, a4), f.mul(qr4, b4)),
+                  f.add(f.mul(qo4, c4), f.mul(qm4, f.mul(a4, b4)))),
+            f.add(qc4, pi4))
+
+        def blinded(w4, x4):
+            return f.add(w4, f.add(f.mul(beta, x4), gamma))
+
+        lhs = f.mul(f.mul(blinded(a4, self._x4), blinded(b4, self._k1x4)),
+                    f.mul(blinded(c4, self._k2x4), z4))
+        rhs = f.mul(f.mul(blinded(a4, s14), blinded(b4, s24)),
+                    f.mul(blinded(c4, s34), zw4))
+        perm = f.sub(lhs, rhs)
+        bound = f.mul(f.sub(z4, self._one), l14)
+
+        num4 = f.add(gate, f.add(f.mul(alpha, perm),
+                                 f.mul(f.mul(alpha, alpha), bound)))
+        num_c = self.ntt4.interpolate(num4)
+
+        # divide by Z_H = X^n + 1: block back-substitution
+        b0, b1, b2, b3 = (num_c[i * n:(i + 1) * n] for i in range(4))
+        q2 = b3
+        q1 = f.sub(b2, q2)
+        q0 = f.sub(b1, q1)
+        rem = f.sub(b0, q0)
+        ok = jnp.all(f.is_zero(rem))
+        return jnp.concatenate([q0, q1, q2], axis=-2), ok
+
+    def quotient_ints(self, a_p, b_p, c_p, z_vals, pi_p, l1_p, sel_p, sig_p,
+                      beta: int, gamma: int, alpha: int):
+        f = self.f
+        z_c = self._interp_j(self.encode_vals(z_vals))
+        enc1 = lambda s: f.encode([s % R])      # (1, L) broadcast scalar
+        t_planes, ok = self._quot_j(a_p, b_p, c_p, z_c, pi_p, l1_p,
+                                    sel_p, sig_p,
+                                    enc1(beta), enc1(gamma), enc1(alpha))
+        if not bool(ok):
+            raise ValueError("constraint identity does not vanish on H")
+        return [int(x) for x in f.decode(t_planes)]
+
+
+def _batch_inverse(vals: list) -> list:
+    """Montgomery trick: n inversions for one modexp + 3n multiplies."""
+    n = len(vals)
+    prefix = [1] * (n + 1)
+    for i, v in enumerate(vals):
+        prefix[i + 1] = prefix[i] * v % R
+    inv_all = pow(prefix[n], -1, R)
+    out = [0] * n
+    for i in range(n - 1, -1, -1):
+        out[i] = prefix[i] * inv_all % R
+        inv_all = inv_all * vals[i] % R
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Setup / prove / verify
+# ---------------------------------------------------------------------------
+
+
 @dataclass
 class PlonkSetup:
     circuit: PlonkCircuit
     n: int                       # padded domain size
     kzg: KZGSetup
-    selector_polys: dict         # name -> coeffs
+    selector_polys: dict         # name -> coeffs (ints, for openings)
     selector_commits: dict
-    sigma_polys: list            # 3 permutation polynomials
+    sigma_polys: list            # 3 permutation polynomials (ints)
     sigma_commits: list
-    domain: list
+    domain: list                 # the n evaluation points
+    sigma_tags: list = None      # raw permutation values (grand product)
+    sel_planes: object = None    # (5, n, L) device coefficient planes
+    sig_planes: object = None    # (3, n, L)
+    l1_poly: list = None         # L_0 coefficients
+    l1_plane: object = None
 
 
 @dataclass
@@ -137,67 +294,6 @@ class PlonkProof:
     evals: dict                  # name -> int at zeta (and _w for omega*zeta)
     openings: dict               # name -> (value, proof affine)
     t_commit: object = None
-
-
-def _interp(domain, values):
-    """O(n^2) Lagrange interpolation over the domain (host)."""
-    n = len(domain)
-    coeffs = [0] * n
-    for j in range(n):
-        if values[j] % R == 0:
-            continue
-        num = [1]
-        for i, xi in enumerate(domain):
-            if i != j:
-                num = _pmul(num, [(-xi) % R, 1])
-        den = 1
-        for i, xi in enumerate(domain):
-            if i != j:
-                den = den * ((domain[j] - xi) % R) % R
-        s = values[j] * pow(den, -1, R) % R
-        for k_, co in enumerate(num):
-            coeffs[k_] = (coeffs[k_] + co * s) % R
-    return coeffs
-
-
-def _pmul(a, b):
-    out = [0] * (len(a) + len(b) - 1)
-    for i, x in enumerate(a):
-        if x:
-            for j, y in enumerate(b):
-                out[i + j] = (out[i + j] + x * y) % R
-    return out
-
-
-def _padd(a, b):
-    n = max(len(a), len(b))
-    a = a + [0] * (n - len(a))
-    b = b + [0] * (n - len(b))
-    return [(x + y) % R for x, y in zip(a, b)]
-
-
-def _psub(a, b):
-    n = max(len(a), len(b))
-    a = a + [0] * (n - len(a))
-    b = b + [0] * (n - len(b))
-    return [(x - y) % R for x, y in zip(a, b)]
-
-
-def _pscale(a, k):
-    return [x * k % R for x in a]
-
-
-def _pdivmod(num, den):
-    num = list(num)
-    out = [0] * max(1, len(num) - len(den) + 1)
-    dinv = pow(den[-1], -1, R)
-    for i in range(len(num) - len(den), -1, -1):
-        q = num[i + len(den) - 1] * dinv % R
-        out[i] = q
-        if q:
-            for j, dc in enumerate(den):
-                num[i + j] = (num[i + j] - q * dc) % R
-    return out, [x % R for x in num[: len(den) - 1]]
 
 
 class PlonkProver:
@@ -209,16 +305,17 @@ class PlonkProver:
     def setup(self, circuit: PlonkCircuit, kzg_seed: int = 0) -> PlonkSetup:
         n = max(4, 1 << (len(circuit.gates) - 1).bit_length()) \
             if circuit.gates else 4
-        dom = _domain(n)
+        dm = _get_domain(n)
+        dom = dm.points
         gates = circuit.gates + [Gate(0, 0, 0, 0, 0, 0, 0, 0)] * (
             n - len(circuit.gates))
 
         sel = {
-            "ql": _interp(dom, [g.ql for g in gates]),
-            "qr": _interp(dom, [g.qr for g in gates]),
-            "qo": _interp(dom, [g.qo for g in gates]),
-            "qm": _interp(dom, [g.qm for g in gates]),
-            "qc": _interp(dom, [g.qc for g in gates]),
+            "ql": dm.interp_ints([g.ql for g in gates]),
+            "qr": dm.interp_ints([g.qr for g in gates]),
+            "qo": dm.interp_ints([g.qo for g in gates]),
+            "qm": dm.interp_ints([g.qm for g in gates]),
+            "qc": dm.interp_ints([g.qc for g in gates]),
         }
 
         # Copy constraints: wire slots are (col, row); slots sharing a
@@ -235,22 +332,31 @@ class PlonkProver:
                 # rotate the cycle
                 for (c1, r1), (c2, r2) in zip(slots, slots[1:] + slots[:1]):
                     sigma_tags[c1][r1] = tags[c2][r2]
-        sigma_polys = [_interp(dom, sigma_tags[c]) for c in range(3)]
+        sigma_polys = [dm.interp_ints(sigma_tags[c]) for c in range(3)]
+
+        l1_poly = dm.interp_ints([1] + [0] * (n - 1))
 
         max_deg = 3 * n + 8
         kzg = self.kzg_scheme.setup(max_deg, seed=kzg_seed)
         sel_commits = {k: self.kzg_scheme.commit(v, kzg)
                        for k, v in sel.items()}
         sig_commits = [self.kzg_scheme.commit(s, kzg) for s in sigma_polys]
-        return PlonkSetup(circuit=circuit, n=n, kzg=kzg,
-                          selector_polys=sel, selector_commits=sel_commits,
-                          sigma_polys=sigma_polys, sigma_commits=sig_commits,
-                          domain=dom)
+        f = dm.f
+        enc = lambda polys: jnp.stack([f.encode(p) for p in polys])
+        return PlonkSetup(
+            circuit=circuit, n=n, kzg=kzg,
+            selector_polys=sel, selector_commits=sel_commits,
+            sigma_polys=sigma_polys, sigma_commits=sig_commits,
+            domain=dom, sigma_tags=sigma_tags,
+            sel_planes=enc([sel[k] for k in ("ql", "qr", "qo", "qm", "qc")]),
+            sig_planes=enc(sigma_polys),
+            l1_poly=l1_poly, l1_plane=f.encode(l1_poly))
 
     def prove(self, setup: PlonkSetup, assignment: dict,
               public_inputs: list) -> PlonkProof:
         """assignment: {var: value}; var 0 must be 0."""
         n = setup.n
+        dm = _get_domain(n)
         dom = setup.domain
         circuit = setup.circuit
         w = dict(assignment)
@@ -274,16 +380,19 @@ class PlonkProver:
             if lhs != 0:
                 raise ValueError(f"gate {i} unsatisfied")
 
-        a_poly = _interp(dom, a_vals)
-        b_poly = _interp(dom, b_vals)
-        c_poly = _interp(dom, c_vals)
-        pi_poly = _interp(dom, pi_vals)
+        # witness interpolation on device
+        a_p = dm._interp_j(dm.encode_vals(a_vals))
+        b_p = dm._interp_j(dm.encode_vals(b_vals))
+        c_p = dm._interp_j(dm.encode_vals(c_vals))
+        pi_p = dm._interp_j(dm.encode_vals(pi_vals))
+        dec = lambda p: [int(x) for x in dm.f.decode(p)]
+        a_poly, b_poly, c_poly, pi_poly = dec(a_p), dec(b_p), dec(c_p), \
+            dec(pi_p)
 
         kzg = setup.kzg
         scheme = self.kzg_scheme
         tr = Transcript("PLONK")
         commits = {}
-        from .commitments import _affine_or_none
         for name, poly in (("a", a_poly), ("b", b_poly), ("c", c_poly)):
             com = scheme.commit(poly, kzg)
             commits[name] = com
@@ -291,57 +400,33 @@ class PlonkProver:
         beta = tr.challenge_field_element("beta", R)
         gamma = tr.challenge_field_element("gamma", R)
 
-        # grand product z
-        sigma_evals = [[_poly_eval(setup.sigma_polys[c], x, R) for x in dom]
-                       for c in range(3)]
+        # grand product z over the raw permutation tags (host big ints,
+        # one modular inversion via the batch trick)
+        st = setup.sigma_tags
+        nums = [0] * (n - 1)
+        dens = [0] * (n - 1)
+        for i in range(n - 1):
+            nums[i] = ((a_vals[i] + beta * dom[i] + gamma)
+                       * (b_vals[i] + beta * K1 * dom[i] + gamma)
+                       * (c_vals[i] + beta * K2 * dom[i] + gamma)) % R
+            dens[i] = ((a_vals[i] + beta * st[0][i] + gamma)
+                       * (b_vals[i] + beta * st[1][i] + gamma)
+                       * (c_vals[i] + beta * st[2][i] + gamma)) % R
+        den_invs = _batch_inverse(dens)
         z_vals = [1]
         for i in range(n - 1):
-            num = ((a_vals[i] + beta * dom[i] + gamma)
-                   * (b_vals[i] + beta * K1 * dom[i] + gamma)
-                   * (c_vals[i] + beta * K2 * dom[i] + gamma)) % R
-            den = ((a_vals[i] + beta * sigma_evals[0][i] + gamma)
-                   * (b_vals[i] + beta * sigma_evals[1][i] + gamma)
-                   * (c_vals[i] + beta * sigma_evals[2][i] + gamma)) % R
-            z_vals.append(z_vals[-1] * num % R * pow(den, -1, R) % R)
-        z_poly = _interp(dom, z_vals)
+            z_vals.append(z_vals[-1] * nums[i] % R * den_invs[i] % R)
+        z_poly = dm.interp_ints(z_vals)
         z_com = scheme.commit(z_poly, kzg)
         commits["z"] = z_com
         tr.append_point("z", _aff3(scheme.curve, z_com))
         alpha = tr.challenge_field_element("alpha", R)
 
-        # quotient t = [gate + alpha*perm + alpha^2*(z-1)L1] / Z_H
-        sel = setup.selector_polys
-        gate_poly = _padd(
-            _padd(_pmul(sel["ql"], a_poly), _pmul(sel["qr"], b_poly)),
-            _padd(_pmul(sel["qo"], c_poly),
-                  _padd(_pmul(_pmul(sel["qm"], a_poly), b_poly),
-                        _padd(sel["qc"], pi_poly))))
-
-        w1 = dom[1]
-        zw_poly = [co * pow(w1, i, R) % R
-                   for i, co in enumerate(z_poly)]     # z(omega X)
-        lhs = _pmul(_pmul(_padd(a_poly, [gamma, beta]),
-                          _padd(b_poly, [gamma, beta * K1 % R])),
-                    _padd(c_poly, [gamma, beta * K2 % R]))
-        lhs = _pmul(lhs, z_poly)
-        rhs = _pmul(_pmul(
-            _padd(a_poly, _padd([gamma], _pscale(setup.sigma_polys[0], beta))),
-            _padd(b_poly, _padd([gamma], _pscale(setup.sigma_polys[1], beta)))),
-            _padd(c_poly, _padd([gamma], _pscale(setup.sigma_polys[2], beta))))
-        rhs = _pmul(rhs, zw_poly)
-        perm_poly = _psub(lhs, rhs)
-
-        # L1(X): Lagrange base at dom[0]
-        l1 = _interp(dom, [1] + [0] * (n - 1))
-        bound_poly = _pmul(_psub(z_poly, [1]), l1)
-
-        num_poly = _padd(gate_poly,
-                         _padd(_pscale(perm_poly, alpha),
-                               _pscale(bound_poly, alpha * alpha % R)))
-        z_h = [(R - 1)] + [0] * (n - 1) + [1]           # X^n - 1
-        t_poly, rem = _pdivmod(num_poly, z_h)
-        if any(rem):
-            raise ValueError("constraint identity does not vanish on H")
+        # quotient t = [gate + alpha*perm + alpha^2*(z-1)L1] / (X^n + 1),
+        # assembled in evaluation form on the 4n domain (device)
+        t_poly = dm.quotient_ints(a_p, b_p, c_p, z_vals, pi_p,
+                                  setup.l1_plane, setup.sel_planes,
+                                  setup.sig_planes, beta, gamma, alpha)
         t_com = scheme.commit(t_poly, kzg)
         tr.append_point("t", _aff3(scheme.curve, t_com))
         zeta = tr.challenge_field_element("zeta", R)
@@ -353,13 +438,16 @@ class PlonkProver:
                    "t": t_poly,
                    "s1": setup.sigma_polys[0], "s2": setup.sigma_polys[1],
                    "s3": setup.sigma_polys[2],
-                   "ql": sel["ql"], "qr": sel["qr"], "qo": sel["qo"],
-                   "qm": sel["qm"], "qc": sel["qc"], "pi": pi_poly}
+                   "ql": setup.selector_polys["ql"],
+                   "qr": setup.selector_polys["qr"],
+                   "qo": setup.selector_polys["qo"],
+                   "qm": setup.selector_polys["qm"],
+                   "qc": setup.selector_polys["qc"], "pi": pi_poly}
         for name, poly in to_open.items():
             v, prf = scheme.open(poly, zeta, kzg)
             evals[name] = v
             openings[name] = (v, _aff3(scheme.curve, prf))
-        vzw, przw = scheme.open(z_poly, zeta * w1 % R, kzg)
+        vzw, przw = scheme.open(z_poly, zeta * dm.omega % R, kzg)
         evals["z_w"] = vzw
         openings["z_w"] = (vzw, _aff3(scheme.curve, przw))
 
@@ -376,6 +464,13 @@ def _aff3(curve, p):
 
     a = _affine_or_none(curve, p)
     return (a[0], a[1], False) if a is not None else (0, 0, True)
+
+
+def _lagrange_at(n: int, x_j: int, zeta: int) -> int:
+    """L_j(zeta) on the negacyclic domain: Z_H(zeta) x_j (-1/n)/(zeta-x_j)."""
+    z_h = (pow(zeta, n, R) + 1) % R
+    return z_h * x_j % R * (R - pow(n, -1, R)) % R \
+        * pow((zeta - x_j) % R, -1, R) % R
 
 
 class PlonkVerifier:
@@ -395,21 +490,22 @@ class PlonkVerifier:
         alpha = tr.challenge_field_element("alpha", R)
         tr.append_point("t", proof.t_commit)
         zeta = tr.challenge_field_element("zeta", R)
-        w1 = setup.domain[1]
+        dom = setup.domain
+        omega = _get_domain(n).omega
 
         e = proof.evals
-        # recompute PI(zeta) from the public inputs
-        pi_vals = [0] * n
+        # recompute PI(zeta) from the public inputs via closed-form
+        # Lagrange values (no interpolation needed)
+        pi_z = 0
         for pub, row in zip(public_inputs, setup.circuit.public_gates):
-            pi_vals[row] = (-pub) % R
-        pi_poly = _interp(setup.domain, pi_vals)
-        pi_z = _poly_eval(pi_poly, zeta, R)
+            pi_z = (pi_z - pub * _lagrange_at(n, dom[row], zeta)) % R
         if pi_z != e["pi"] % R:
             return False
 
-        z_h_z = (pow(zeta, n, R) - 1) % R
-        l1_z = z_h_z * pow(n, -1, R) % R * pow((zeta - 1) % R, -1, R) % R \
-            if zeta != 1 else 1
+        z_h_z = (pow(zeta, n, R) + 1) % R
+        if z_h_z == 0:
+            return False        # zeta hit the domain (negligible)
+        l1_z = _lagrange_at(n, dom[0], zeta)
 
         gate = (e["ql"] * e["a"] + e["qr"] * e["b"] + e["qo"] * e["c"]
                 + e["qm"] * e["a"] * e["b"] + e["qc"] + pi_z) % R
@@ -426,7 +522,6 @@ class PlonkVerifier:
 
         # verify every opening with the real KZG pairing
         kzg = setup.kzg
-        from .commitments import KZGScheme as _KS
 
         def reconstruct(aff):
             if aff[2]:
@@ -456,7 +551,7 @@ class PlonkVerifier:
             ("ql", sel_c["ql"], zeta), ("qr", sel_c["qr"], zeta),
             ("qo", sel_c["qo"], zeta), ("qm", sel_c["qm"], zeta),
             ("qc", sel_c["qc"], zeta),
-            ("z_w", proof.commits["z"], zeta * w1 % R),
+            ("z_w", proof.commits["z"], zeta * omega % R),
         ]
         for name, com, pt in checks:
             if not chk(name, com, pt):

@@ -70,3 +70,25 @@ def test_tampered_ipa_rejected(setup):
     proof = prover.prove_range(value, blinding, N_BITS, gens)
     proof.inner.a = (proof.inner.a + 1) % curve.order
     assert not verifier.verify_range(com, proof, N_BITS, gens)
+
+
+def test_aggregated_range_proof_roundtrip(setup):
+    """m=4 values in one proof (reference: aggregated bulletproofs.cpp
+    path + BallotValidityProof, bulletproofs.h:199)."""
+    curve, _, prover, verifier = setup
+    m, n = 4, N_BITS
+    gens = BulletproofsGens.generate(curve, m * n)
+    values = [0, 5, 15, 9]
+    blinds = [prover.random_scalar() for _ in values]
+    coms = [prover.commit(v, b, gens) for v, b in zip(values, blinds)]
+    proof = prover.prove_range_aggregated(values, blinds, n, gens)
+    assert verifier.verify_range_aggregated(coms, proof, n, gens)
+    # wrong commitment order must fail
+    assert not verifier.verify_range_aggregated(coms[::-1], proof, n, gens)
+
+
+def test_aggregated_rejects_out_of_range(setup):
+    curve, _, prover, verifier = setup
+    gens = BulletproofsGens.generate(curve, 2 * N_BITS)
+    with pytest.raises(ValueError):
+        prover.prove_range_aggregated([3, 16], [1, 2], N_BITS, gens)
