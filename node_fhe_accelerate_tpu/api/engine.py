@@ -276,3 +276,48 @@ def create_fhe_engine(params: ParameterSet | str, **kw) -> FHEEngine:
     if isinstance(params, str):
         params = create_parameter_set(params)
     return FHEEngine(params, **kw)
+
+
+# camelCase alias table: the reference's TS method names
+# (src/api/fhe-engine.ts:33-78) resolve on FHEEngine instances for parity
+# checks / ported callers.
+_CAMEL_ALIASES = {
+    "generateSecretKey": "generate_secret_key",
+    "generatePublicKey": "generate_public_key",
+    "generateEvalKey": "generate_eval_key",
+    "generateBootstrapKey": "generate_bootstrap_key",
+    "generateThresholdKeys": "generate_threshold_keys",
+    "encryptValue": "encrypt_value",
+    "encryptPacked": "encrypt_packed",
+    "batchEncrypt": "batch_encrypt",
+    "decryptValue": "decrypt_value",
+    "decryptPacked": "decrypt_packed",
+    "addPlain": "add_plain",
+    "addScalar": "add_scalar",
+    "batchAdd": "batch_add",
+    "multiplyRelin": "multiply_relin",
+    "multiplyPlain": "multiply_plain",
+    "multiplyScalar": "multiply_scalar",
+    "squareRelin": "square_relin",
+    "programmableBootstrap": "programmable_bootstrap",
+    "partialDecrypt": "partial_decrypt",
+    "combinePartialDecryptions": "combine_partial_decryptions",
+    "getNoiseBudget": "get_noise_budget",
+    "estimateNoiseBudget": "estimate_noise_budget",
+    "serializeSecretKey": "serialize_secret_key",
+    "deserializeSecretKey": "deserialize_secret_key",
+    "serializePublicKey": "serialize_public_key",
+    "deserializePublicKey": "deserialize_public_key",
+    "serializeCiphertext": "serialize_ciphertext",
+    "deserializeCiphertext": "deserialize_ciphertext",
+    "createPlaintext": "create_plaintext",
+    "createPackedPlaintext": "create_packed_plaintext",
+    "getZeroCiphertext": "get_zero_ciphertext",
+    "getParams": "get_params",
+    "getHardwareCapabilities": "get_hardware_capabilities",
+    "getSlotCount": "get_slot_count",
+    "validateSecurity": "validate_security",
+}
+
+for _camel, _snake in _CAMEL_ALIASES.items():
+    setattr(FHEEngine, _camel, getattr(FHEEngine, _snake))

@@ -8,9 +8,14 @@ real TPU-native implementations instead of the reference's simulated crypto:
 * ballots: RLWE one-hot encryption, batched (core/encrypt.py)
 * ballot validity: Bulletproofs range proof on the vote choice
   (zk/bulletproofs.py — the reference simulates this, zk-proofs.ts:86-113)
-* eligibility: Poseidon-Merkle membership + nullifier (zk/hashes.py,
-  mirroring EligibilityCircuit, groth16.h:342-406; the SNARK wrapper
-  arrives with zk/groth16.py)
+* eligibility: Groth16 SNARK over the Poseidon-Merkle EligibilityCircuit
+  (zk/circuits.py, mirroring groth16.h:342-406 + voting-example.ts:627-701)
+  — membership + nullifier proven in-circuit with public inputs
+  [merkle_root, nullifier]; enable with eligibility_snark=True.
+  Strengthening over the reference: the tree leaf commits to a secret
+  voter identity vid = H(voter_id || secret) rather than the public
+  voter_id, so knowing someone's voter_id is not enough to forge their
+  membership proof.
 * tally: streaming homomorphic adds + tree reduction (api/tally.py)
 * decryption: M-of-N Shamir threshold (core/threshold.py)
 * audit: hash-chained log (api/audit.py)
@@ -36,7 +41,10 @@ from ..zk.bulletproofs import (
     BulletproofsGens, BulletproofsProver, BulletproofsVerifier,
 )
 from ..zk.curve import bn254_g1
-from ..zk.hashes import PoseidonHash, MerkleTree
+from ..zk.hashes import PoseidonHash, MerkleTree, Blake2sHash
+from ..zk.field import BN254_FR
+from ..zk.circuits import EligibilityCircuit
+from ..zk.groth16 import Groth16Prover, Groth16Verifier
 
 __all__ = ["ElectionState", "Ballot", "VotingSystem"]
 
@@ -58,6 +66,8 @@ class Ballot:
     eligibility_root: object
     nullifier: int
     timestamp: float
+    eligibility_proof: object = None       # Groth16Proof when SNARK mode
+    eligibility_publics: list = None       # [merkle_root, nullifier] ints
 
 
 class VotingSystem:
@@ -67,9 +77,13 @@ class VotingSystem:
 
     def __init__(self, election_id: str, num_candidates: int,
                  threshold=(3, 5), preset: str = "TFHE_128_VOTING",
-                 enable_zk: bool = True):
+                 enable_zk: bool = True, eligibility_snark: bool = False):
         # enable_zk=False skips ballot validity proofs (fast tally-only mode
         # for tests/benchmarks); eligibility nullifiers stay on.
+        # eligibility_snark=True additionally proves Merkle membership +
+        # nullifier correctness in a Groth16 SNARK per ballot
+        # (voting-example.ts:627-701); off by default because proving costs
+        # seconds per ballot at realistic tree depths.
         if num_candidates < 2:
             raise ValueError("need at least two candidates")
         self.election_id = election_id
@@ -93,6 +107,11 @@ class VotingSystem:
             self.bp_prover = BulletproofsProver(curve)
             self.bp_verifier = BulletproofsVerifier(curve)
         self.poseidon = PoseidonHash()
+        self.eligibility_snark = eligibility_snark
+        self._elig_circuit: Optional[EligibilityCircuit] = None
+        self._elig_setup = None
+        self._elig_prover: Optional[Groth16Prover] = None
+        self._elig_verifier = Groth16Verifier() if eligibility_snark else None
 
         # services
         self.tally = TallyStreamManager(self.ctx.engine.engine)
@@ -131,15 +150,41 @@ class VotingSystem:
     def start_election(self):
         if not self._voters:
             raise ValueError("no registered voters")
-        # Build the eligibility Merkle tree over H(voter_secret)
         f = self.poseidon.f
-        leaves = f.encode([self._leaf_value(s)
-                           for s in self._voters.values()])
-        self._voter_tree = MerkleTree(self.poseidon, leaves)
+        if self.eligibility_snark:
+            # EligibilityCircuit semantics (groth16.h:342-406):
+            # leaf = hash2(vid, vid); tree padded to a power of two.
+            n = len(self._voters)
+            depth = max(1, (n - 1).bit_length())
+            self._elig_circuit = EligibilityCircuit(depth, self.poseidon)
+            self._elig_order = list(self._voters)       # voter_id -> index
+            leaf_ints = [self._elig_circuit.leaf(self._vid(v))
+                         for v in self._elig_order]
+            # pad with zero leaves to the full 2^depth so circuit depth
+            # and tree depth agree
+            leaf_ints += [0] * ((1 << depth) - n)
+            leaves = f.encode(leaf_ints)
+            self._voter_tree = MerkleTree(self.poseidon, leaves)
+            self._elig_prover = Groth16Prover()
+            self._elig_setup = self._elig_prover.setup(
+                self._elig_circuit.r1cs)
+        else:
+            # hash-only mode: tree over H(voter_secret)
+            leaves = f.encode([self._leaf_value(s)
+                               for s in self._voters.values()])
+            self._voter_tree = MerkleTree(self.poseidon, leaves)
         self.state = ElectionState.ACTIVE
         self.tally.start_election(self.election_id)
         self.audit.log(AuditOperation.ELECTION_STARTED, AuditActor.OFFICIAL,
                        "system")
+
+    def _vid(self, voter_id: str) -> int:
+        """Secret voter identity: H(voter_id || secret) — unknowable
+        without the registration secret (see class docstring)."""
+        secret = self._voters[voter_id]
+        return Blake2sHash.to_field_element(
+            Blake2sHash.hash(voter_id.encode()
+                             + secret.to_bytes(32, "little")), BN254_FR)
 
     def _leaf_value(self, secret: int) -> int:
         return int(self.poseidon.f.decode(
@@ -157,9 +202,30 @@ class VotingSystem:
         if not (0 <= choice < self.num_candidates):
             raise ValueError("invalid candidate")
         secret = self._voters[voter_id]
-        nullifier = self._nullifier(secret)
-        if nullifier in self._nullifiers:
-            raise ValueError("ballot already submitted (nullifier reuse)")
+        elig_proof = None
+        elig_publics = None
+        if self.eligibility_snark:
+            circ = self._elig_circuit
+            vid = self._vid(voter_id)
+            nullifier = circ.nullifier(vid, secret)
+            if nullifier in self._nullifiers:
+                raise ValueError(
+                    "ballot already submitted (nullifier reuse)")
+            idx = self._elig_order.index(voter_id)
+            f = self.poseidon.f
+            path = [int(f.decode(s[None, :])[0])
+                    for s in self._voter_tree.path(idx)]
+            bits = [(idx >> k) & 1 for k in range(circ.depth)]
+            root = int(f.decode(self._voter_tree.root[None, :])[0])
+            wit = circ.generate_witness(vid, secret, path, bits, root)
+            elig_proof = self._elig_prover.prove(self._elig_setup,
+                                                 wit.assignment)
+            elig_publics = wit.public_inputs
+        else:
+            nullifier = self._nullifier(secret)
+            if nullifier in self._nullifiers:
+                raise ValueError(
+                    "ballot already submitted (nullifier reuse)")
 
         # One-hot encrypt: slot[candidate] = 1
         onehot = np.zeros(self.num_candidates, dtype=np.uint64)
@@ -179,7 +245,9 @@ class VotingSystem:
             ciphertext=ct, validity_proof=proof,
             validity_commitment=commitment,
             eligibility_root=self._voter_tree.root,
-            nullifier=nullifier, timestamp=time.time())
+            nullifier=nullifier, timestamp=time.time(),
+            eligibility_proof=elig_proof,
+            eligibility_publics=elig_publics)
         self._nullifiers.add(nullifier)
         self._ballots.append(ballot)
         self._timestamped.append(
@@ -197,6 +265,16 @@ class VotingSystem:
         ok = self.bp_verifier.verify_range(
             ballot.validity_commitment, ballot.validity_proof,
             self.RANGE_BITS, self.bp_gens)
+        if ok and self.eligibility_snark:
+            f = self.poseidon.f
+            root = int(f.decode(self._voter_tree.root[None, :])[0])
+            pubs = ballot.eligibility_publics
+            ok = (ballot.eligibility_proof is not None
+                  and pubs is not None
+                  and pubs[0] == root                    # election's tree
+                  and pubs[1] == ballot.nullifier % BN254_FR
+                  and self._elig_verifier.verify(self._elig_setup, pubs,
+                                                 ballot.eligibility_proof))
         self.audit.log(
             AuditOperation.PROOF_VERIFIED if ok else AuditOperation.PROOF_FAILED,
             AuditActor.VERIFIER, "system", {"ballotId": ballot.ballot_id})

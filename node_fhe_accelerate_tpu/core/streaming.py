@@ -17,6 +17,8 @@ Twin of the reference's `ChunkedCiphertextProcessor` /
 """
 from __future__ import annotations
 
+import queue
+import threading
 from dataclasses import dataclass, field
 from typing import Callable, Iterable, Optional
 
@@ -27,7 +29,8 @@ from .encrypt import EncryptionEngine, Ciphertext
 from .poly import PolyRing
 
 __all__ = ["ChunkMetadata", "ChunkedCiphertextProcessor",
-           "StreamingAccumulator", "StreamingEquivalenceVerifier"]
+           "StreamingAccumulator", "CiphertextStreamProcessor",
+           "StreamingEquivalenceVerifier"]
 
 
 @dataclass
@@ -95,6 +98,46 @@ class ChunkedCiphertextProcessor:
                 c1=ring.ctx.add(ca.c1, cb.c1)))
         return self.merge(out)
 
+    def chunked_multiply_raw(self, a: Ciphertext, b: Ciphertext
+                             ) -> Ciphertext:
+        """Tensor product with the POINTWISE stage chunked (bounded live
+        working set per product), bit-identical to engine.multiply_raw.
+
+        The reference chunks coefficient ranges and then corrects chunk
+        boundaries because convolution crosses them
+        (streaming_processor.h:302-422).  The TPU-native design chunks in
+        the NTT domain instead, where the product is elementwise and chunk
+        boundaries need no correction at all — the transforms themselves
+        scale past one chip via the distributed 4-step NTT
+        (parallel/dist_ntt.py), not via host chunking.
+        """
+        ring = self.ring
+        if a.is_degree_2 or b.is_degree_2:
+            raise ValueError("relinearize before multiplying degree-2")
+        cs = self.chunk_size
+        n = ring.n
+        fa0, fa1 = ring.to_ntt(a.c0), ring.to_ntt(a.c1)
+        fb0, fb1 = ring.to_ntt(b.c0), ring.to_ntt(b.c1)
+
+        def piecewise(fx, fy):
+            parts = []
+            for lo in range(0, n, cs):
+                sl = slice(lo, min(lo + cs, n))
+                parts.append(ring.pointwise(
+                    (fx[0][..., sl], fx[1][..., sl]),
+                    (fy[0][..., sl], fy[1][..., sl])))
+            return (jnp.concatenate([p[0] for p in parts], axis=-1),
+                    jnp.concatenate([p[1] for p in parts], axis=-1))
+
+        import math
+        d0 = ring.from_ntt(piecewise(fa0, fb0))
+        d1 = ring.from_ntt(ring.ctx.add(piecewise(fa0, fb1),
+                                        piecewise(fa1, fb0)))
+        d2 = ring.from_ntt(piecewise(fa1, fb1))
+        nb = min(a.noise_budget, b.noise_budget) - (math.log2(n) + 5.0)
+        return Ciphertext(c0=d0, c1=d1, c2=d2, noise_budget=nb,
+                          key_id=a.key_id)
+
 
 class StreamingAccumulator:
     """Bounded-memory homomorphic fold over a ballot stream
@@ -137,6 +180,64 @@ class StreamingAccumulator:
         return self._count
 
 
+class CiphertextStreamProcessor:
+    """Asynchronous ciphertext stream processor with real backpressure
+    (streaming_processor.h:302-422 CiphertextStreamProcessor).
+
+    A worker thread drains a BOUNDED queue into a StreamingAccumulator;
+    `push` blocks once `max_in_flight` items are pending, so a fast
+    producer cannot grow memory without bound.  Device work stays on the
+    single worker thread (JAX dispatch is thread-compatible but the
+    accumulator state is not), mirroring the reference's single consumer
+    with condition-variable backpressure.
+    """
+
+    def __init__(self, engine: EncryptionEngine, batch_size: int = 64,
+                 max_in_flight: int = 256,
+                 progress: Optional[Callable[[int], None]] = None):
+        self._acc = StreamingAccumulator(engine, batch_size=batch_size,
+                                         progress=progress)
+        self._q: queue.Queue = queue.Queue(maxsize=max_in_flight)
+        self._error: Optional[BaseException] = None
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                self._acc.push(item)
+            except BaseException as e:       # propagate to the producer
+                self._error = e
+                return
+            finally:
+                self._q.task_done()
+
+    def push(self, ct: Ciphertext, timeout: Optional[float] = None):
+        """Blocks when the in-flight window is full (backpressure)."""
+        if self._error is not None:
+            raise RuntimeError("stream worker failed") from self._error
+        self._q.put(ct, timeout=timeout)
+
+    @property
+    def pending(self) -> int:
+        return self._q.qsize()
+
+    def result(self) -> Ciphertext:
+        """Close the stream, join the worker, return the accumulated sum."""
+        self._q.put(None)
+        self._worker.join()
+        if self._error is not None:
+            raise RuntimeError("stream worker failed") from self._error
+        return self._acc.result()
+
+    @property
+    def count(self) -> int:
+        return self._acc.count
+
+
 class StreamingEquivalenceVerifier:
     """Streamed result must equal the direct computation bit-for-bit
     (streaming_processor.h:422)."""
@@ -157,3 +258,20 @@ class StreamingEquivalenceVerifier:
                                    np.asarray(streamed.c1[0]))
                 and np.array_equal(np.asarray(direct.c1[1]),
                                    np.asarray(streamed.c1[1])))
+
+    @staticmethod
+    def verify_multiply(engine: EncryptionEngine, a: Ciphertext,
+                        b: Ciphertext, chunk_size: int = 64) -> bool:
+        """Chunked tensor product must equal multiply_raw bit-for-bit
+        (the reference's equivalence verifier covers multiply,
+        streaming_processor.h:422)."""
+        direct = engine.multiply_raw(a, b)
+        chunked = ChunkedCiphertextProcessor(
+            engine, chunk_size).chunked_multiply_raw(a, b)
+
+        def eq(x, y):
+            return (np.array_equal(np.asarray(x[0]), np.asarray(y[0]))
+                    and np.array_equal(np.asarray(x[1]), np.asarray(y[1])))
+
+        return (eq(direct.c0, chunked.c0) and eq(direct.c1, chunked.c1)
+                and eq(direct.c2, chunked.c2))

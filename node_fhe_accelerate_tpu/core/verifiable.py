@@ -24,7 +24,8 @@ from .encrypt import EncryptionEngine, Ciphertext
 from .keys import PublicKey
 from ..ops.u64 import u64_to_np, u64_from_np
 
-__all__ = ["EncryptionProof", "VerifiableEncryption", "VoterReceipt"]
+__all__ = ["EncryptionProof", "VerifiableEncryption", "VoterReceipt",
+           "ShareCommitment", "DecryptionProof", "VerifiableDecryption"]
 
 
 def _hash_polys(*polys, q: int) -> int:
@@ -106,6 +107,86 @@ class VerifiableEncryption:
         rhs1 = ring.add(proof.w1, ring.scalar_mul(ct.c1, gamma))
         return (np.array_equal(u64_to_np(lhs0), u64_to_np(rhs0))
                 and np.array_equal(u64_to_np(lhs1), u64_to_np(rhs1)))
+
+
+# ---------------------------------------------------------------------------
+# Decryption proofs (verifiable_encryption.h:96-126)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ShareCommitment:
+    """Public commitment to a threshold key share: (a, b = a*s_i + e),
+    published at key-ceremony time so partial decryptions are verifiable."""
+    share_id: int
+    a: tuple
+    b: tuple
+
+
+@dataclass
+class DecryptionProof:
+    """Chaum-Pedersen-style proof that a partial decryption p = c1 * s_i
+    used the SAME s_i as the published share commitment:
+
+        a * z_s + z_e == w_a + gamma * b        (knowledge of s_i, e)
+        c1 * z_s      == w_c + gamma * p        (same s_i decrypted)
+    """
+    share_id: int
+    w_a: tuple
+    w_c: tuple
+    z_s: tuple
+    z_e: tuple
+    gamma: int
+
+
+class VerifiableDecryption:
+    """Prover/verifier for threshold partial decryptions
+    (verifiable_encryption.h:96-126 decryption proofs; partial decryption
+    itself is core/threshold.py partial_decrypt)."""
+
+    def __init__(self, ring: PolyRing):
+        self.ring = ring
+
+    def commit_share(self, key, share) -> tuple:
+        """-> (ShareCommitment, e_noise).  The official keeps e_noise
+        secret alongside the share; the commitment is published."""
+        ring = self.ring
+        k_a, k_e = jax.random.split(key)
+        a = ring.sample_uniform(k_a)
+        e = ring.sample_gaussian(k_e, 3.2)
+        b = ring.add(ring.multiply(a, share.share_poly), e)
+        return ShareCommitment(share_id=share.share_id, a=a, b=b), e
+
+    def prove(self, key, share, e_noise, commitment: ShareCommitment,
+              c1, partial) -> DecryptionProof:
+        ring = self.ring
+        k_rs, k_re = jax.random.split(key)
+        r_s = ring.sample_uniform(k_rs)
+        r_e = ring.sample_uniform(k_re)
+        w_a = ring.add(ring.multiply(commitment.a, r_s), r_e)
+        w_c = ring.multiply(c1, r_s)
+        gamma = _hash_polys(commitment.a, commitment.b, c1, partial.partial,
+                            w_a, w_c, q=ring.q)
+        z_s = ring.add(r_s, ring.scalar_mul(share.share_poly, gamma))
+        z_e = ring.add(r_e, ring.scalar_mul(e_noise, gamma))
+        return DecryptionProof(share_id=share.share_id, w_a=w_a, w_c=w_c,
+                               z_s=z_s, z_e=z_e, gamma=gamma)
+
+    def verify(self, commitment: ShareCommitment, c1, partial,
+               proof: DecryptionProof) -> bool:
+        ring = self.ring
+        if proof.share_id != commitment.share_id:
+            return False
+        gamma = _hash_polys(commitment.a, commitment.b, c1, partial.partial,
+                            proof.w_a, proof.w_c, q=ring.q)
+        if gamma != proof.gamma:
+            return False
+        lhs_a = ring.add(ring.multiply(commitment.a, proof.z_s), proof.z_e)
+        rhs_a = ring.add(proof.w_a, ring.scalar_mul(commitment.b, gamma))
+        lhs_c = ring.multiply(c1, proof.z_s)
+        rhs_c = ring.add(proof.w_c, ring.scalar_mul(partial.partial, gamma))
+        return (np.array_equal(u64_to_np(lhs_a), u64_to_np(rhs_a))
+                and np.array_equal(u64_to_np(lhs_c), u64_to_np(rhs_c)))
 
 
 @dataclass

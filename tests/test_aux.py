@@ -12,11 +12,12 @@ from node_fhe_accelerate_tpu.core.keys import KeyManager
 from node_fhe_accelerate_tpu.core.encrypt import EncryptionEngine
 from node_fhe_accelerate_tpu.core.streaming import (
     ChunkedCiphertextProcessor, StreamingAccumulator,
-    StreamingEquivalenceVerifier,
+    CiphertextStreamProcessor, StreamingEquivalenceVerifier,
 )
 from node_fhe_accelerate_tpu.core.verifiable import (
-    VerifiableEncryption, VoterReceipt,
+    VerifiableEncryption, VerifiableDecryption, VoterReceipt,
 )
+from node_fhe_accelerate_tpu.core import threshold as th
 from node_fhe_accelerate_tpu.core.bootstrap import TfheParams, TfheEngine
 from node_fhe_accelerate_tpu.core.speculative import SpeculativePBS
 from node_fhe_accelerate_tpu.utils.dispatch import AdaptiveDispatcher
@@ -24,9 +25,9 @@ from node_fhe_accelerate_tpu.utils.dispatch import AdaptiveDispatcher
 
 def small_params(t=16):
     return ParameterSet(
-        scheme=FHEScheme.TFHE, poly_degree=256, moduli=[7681],
+        scheme=FHEScheme.TFHE, poly_degree=256, moduli=[1073479681],
         lwe_dimension=64, lwe_noise_std=3.2e-11, glwe_dimension=1,
-        decomp_base_log=7, decomp_level=2, plaintext_modulus=t,
+        decomp_base_log=8, decomp_level=4, plaintext_modulus=t,
     )
 
 
@@ -85,6 +86,22 @@ class TestStreaming:
         with pytest.raises(ValueError, match="empty"):
             StreamingAccumulator(eng).result()
 
+    def test_chunked_multiply_equals_direct(self, eng_keys):
+        eng, sk, pk = eng_keys
+        a = eng.encrypt(jax.random.PRNGKey(40), 5, pk)
+        b = eng.encrypt(jax.random.PRNGKey(41), 6, pk)
+        assert StreamingEquivalenceVerifier.verify_multiply(
+            eng, a, b, chunk_size=100)  # ragged chunks
+
+    def test_async_stream_processor_backpressure(self, eng_keys):
+        eng, sk, pk = eng_keys
+        proc = CiphertextStreamProcessor(eng, batch_size=4, max_in_flight=2)
+        for i in range(9):
+            proc.push(eng.encrypt(jax.random.PRNGKey(50 + i), 1, pk))
+        total = proc.result()
+        assert proc.count == 9
+        assert eng.decode(eng.phase(total, sk))[0] == 9
+
 
 class TestVerifiableEncryption:
     def test_proof_round_trip(self, eng_keys):
@@ -109,6 +126,50 @@ class TestVerifiableEncryption:
         assert rec.matches(ct, proof)
         ct2, proof2 = ve.encrypt_with_proof(jax.random.PRNGKey(8), 2, pk)
         assert not rec.matches(ct2, proof2)
+
+
+class TestVerifiableDecryption:
+    """Decryption proofs (verifiable_encryption.h:96-126)."""
+
+    def test_partial_decryption_proof_round_trip(self, eng_keys):
+        eng, sk, pk = eng_keys
+        ring = eng.ring
+        key = jax.random.PRNGKey(11)
+        tk = th.generate_threshold_keys(key, ring, 2, 3)
+        ct = eng.encrypt(jax.random.PRNGKey(12), [5], eng_pk_for(eng, tk))
+        vd = VerifiableDecryption(ring)
+        share = tk.shares[0]
+        com, e = vd.commit_share(jax.random.PRNGKey(13), share)
+        partial = th.partial_decrypt(ring, ct.c1, share)
+        proof = vd.prove(jax.random.PRNGKey(14), share, e, com, ct.c1,
+                         partial)
+        assert vd.verify(com, ct.c1, partial, proof)
+
+    def test_forged_partial_rejected(self, eng_keys):
+        eng, sk, pk = eng_keys
+        ring = eng.ring
+        tk = th.generate_threshold_keys(jax.random.PRNGKey(21), ring, 2, 3)
+        ct = eng.encrypt(jax.random.PRNGKey(22), [1], eng_pk_for(eng, tk))
+        vd = VerifiableDecryption(ring)
+        share = tk.shares[1]
+        com, e = vd.commit_share(jax.random.PRNGKey(23), share)
+        partial = th.partial_decrypt(ring, ct.c1, share)
+        # an official lying about their partial (shifting the tally)
+        forged = th.PartialDecryption(
+            share_id=share.share_id,
+            partial=ring.add(partial.partial, eng.encode([1])))
+        proof = vd.prove(jax.random.PRNGKey(24), share, e, com, ct.c1,
+                         partial)
+        assert not vd.verify(com, ct.c1, forged, proof)
+        # proof bound to a different share's commitment fails too
+        com2, _ = vd.commit_share(jax.random.PRNGKey(25), tk.shares[2])
+        com2.share_id = share.share_id
+        assert not vd.verify(com2, ct.c1, partial, proof)
+
+
+def eng_pk_for(eng, tk):
+    km = KeyManager(eng.params, eng.ring)
+    return km.generate_public_key(jax.random.PRNGKey(99), tk.master_sk)
 
 
 class TestSpeculativePBS:

@@ -27,9 +27,9 @@ from node_fhe_accelerate_tpu.api.fraud import FraudDetector, FraudAlertType, \
 
 def small_params(t=16):
     return ParameterSet(
-        scheme=FHEScheme.TFHE, poly_degree=256, moduli=[7681],
+        scheme=FHEScheme.TFHE, poly_degree=256, moduli=[1073479681],
         lwe_dimension=64, lwe_noise_std=3.2e-11, glwe_dimension=1,
-        decomp_base_log=7, decomp_level=2, plaintext_modulus=t,
+        decomp_base_log=8, decomp_level=4, plaintext_modulus=t,
     )
 
 

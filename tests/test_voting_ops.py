@@ -14,9 +14,9 @@ from node_fhe_accelerate_tpu.core.bootstrap import TfheParams, TfheEngine
 @pytest.fixture(scope="module")
 def rlwe():
     params = ParameterSet(
-        scheme=FHEScheme.TFHE, poly_degree=256, moduli=[7681],
+        scheme=FHEScheme.TFHE, poly_degree=256, moduli=[1073479681],
         lwe_dimension=64, lwe_noise_std=3.2e-11, glwe_dimension=1,
-        decomp_base_log=7, decomp_level=2, plaintext_modulus=64)
+        decomp_base_log=8, decomp_level=4, plaintext_modulus=64)
     eng = EncryptionEngine(params)
     km = KeyManager(params, eng.ring)
     sk = km.generate_secret_key(jax.random.PRNGKey(0))
