@@ -2,13 +2,23 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Headline: batched negacyclic NTT throughput at degree 1024 (the reference's
-best suite result is 116.5 Kops/s on M4 Max AMX — BENCHMARK_REPORT.md:86-97,
-BASELINE.md).  vs_baseline = our NTTs/sec / 116500.
+Headline: TFHE programmable-bootstrap throughput at the production shape
+(n=630, N=1024, k=1 — the reference's TFHE_128 LWE/GLWE geometry,
+parameter_set.cpp:108-137) with the level-2 gadget preset (Bg=2^8, l=2)
+and the int8 MXU external-product backend (core/bootstrap.py, ops/i8.py).
 
-The batch dimension is the TPU's friend: one fused program transforms
-thousands of polynomials per dispatch, which is exactly how the FHE workloads
-(batch encrypt, blind-rotate accumulators, tally pipelines) consume the NTT.
+vs_baseline = bootstraps/s / 50: the reference's only bootstrap anchor is
+its "<20 ms per bootstrap" README claim on M4 Max (README.md:75,
+BASELINE.md), i.e. ~50 bootstraps/s/machine.
+
+The run is honest end-to-end: real BSK keygen, real LWE encrypt, timed
+jitted bootstrap over a batch of 4096, and a full decode-correctness check
+against the plaintexts AFTER timing (any device->host transfer before the
+loop would poison the axon dispatch path — see docs/OPERATIONS.md).
+
+Secondary metrics (NTT throughput etc.) live in the committed benchmark
+suite: `python -m node_fhe_accelerate_tpu.utils.bench_suite` writes the
+full CSV/JSON artifacts under benchmark_results/.
 """
 import json
 import sys
@@ -19,42 +29,54 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
-from node_fhe_accelerate_tpu.ops.ntt import NTTContext
-from node_fhe_accelerate_tpu.ops.u64 import u64_from_np
-from node_fhe_accelerate_tpu.core.params import Primes
+from node_fhe_accelerate_tpu.core.bootstrap import TfheEngine, TFHE_BOOT_128_L2
 
-BASELINE_NTT_1024_OPS = 116_500.0  # M4 Max AMX matrix NTT, BASELINE.md
+BASELINE_BOOTSTRAPS_PER_SEC = 50.0  # M4 Max, <20ms/bootstrap (README.md:75)
 
 
 def main():
-    n = 1024
-    q = Primes.Q_40_1  # 2^40 - 2^32 + 1 (Solinas fast path)
-    batch = 8192
-    ntt = NTTContext(n, q)
+    batch = 4096
+    p = TFHE_BOOT_128_L2()
+    eng = TfheEngine(p, ext_backend="mxu")
 
-    rng = np.random.default_rng(0)
-    a = rng.integers(0, q, size=(batch, n), dtype=np.uint64)
-    planes = u64_from_np(a)
-    fwd = jax.jit(ntt.forward)
+    key = jax.random.PRNGKey(0)
+    lwe_sk = eng.lwe_keygen(jax.random.fold_in(key, 0))
+    glwe_sk = eng.glwe_keygen(jax.random.fold_in(key, 1))
+    bsk = eng.generate_bootstrap_key(jax.random.fold_in(key, 2),
+                                     lwe_sk, glwe_sk)
+    jax.block_until_ready(bsk.ggsw_i8)
+
+    msgs = jnp.arange(batch, dtype=jnp.uint32) % 2
+    ct = eng.lwe_encrypt(jax.random.PRNGKey(3), msgs, lwe_sk)
+    tp = eng.default_test_poly()
 
     # Warmup/compile
-    out = fwd(planes)
-    jax.block_until_ready(out)
+    out = eng.bootstrap_jit(ct, bsk, tp)
+    jax.block_until_ready(out.a)
 
-    iters = 20
+    iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fwd(planes)
-    jax.block_until_ready(out)
+        out = eng.bootstrap_jit(ct, bsk, tp)
+    jax.block_until_ready(out.a)
     dt = time.perf_counter() - t0
 
-    ntts_per_sec = batch * iters / dt
+    # Correctness check (d2h only after the timed loop)
+    dec = np.asarray(eng.lwe_decrypt(out, lwe_sk))
+    if not np.array_equal(dec, np.asarray(msgs)):
+        print(json.dumps({"metric": "pbs_throughput", "value": 0.0,
+                          "unit": "bootstraps/s", "vs_baseline": 0.0,
+                          "error": "decode mismatch"}))
+        return
+
+    rate = batch * iters / dt
     print(json.dumps({
-        "metric": "ntt_1024_throughput",
-        "value": round(ntts_per_sec, 1),
-        "unit": "ntt/s",
-        "vs_baseline": round(ntts_per_sec / BASELINE_NTT_1024_OPS, 3),
+        "metric": "pbs_throughput_n630_N1024",
+        "value": round(rate, 1),
+        "unit": "bootstraps/s",
+        "vs_baseline": round(rate / BASELINE_BOOTSTRAPS_PER_SEC, 2),
     }))
 
 

@@ -8,7 +8,23 @@ speedup, correct) and its `StatisticalAnalyzer` (:141-186) /
 
 Suites: modmul, ntt, poly_mul, bootstrap, tally pipeline.  Every result
 carries a `correct` flag verified against the big-int oracle (Property 14:
-backend equivalence — the accelerated path must match the scalar truth).
+backend equivalence — the accelerated path must match the scalar truth),
+and `speedup_vs_baseline` computed against the reference's measured M4 Max
+numbers (BASELINE.md) where one exists for the same op/shape.
+
+This suite is the SINGLE source of truth for committed benchmark
+artifacts: `python -m node_fhe_accelerate_tpu.utils.bench_suite` runs it
+and rewrites benchmark_results/*.csv + benchmark_results.json.  The
+driver-facing bench.py headline (PBS throughput at the production shape)
+is the `pbs_n630_N1024_l2` row of the bootstrap suite — same engine, same
+shape, same batch.
+
+Conditions that matter for reproducing the numbers (recorded per row in
+the `batch` column): throughput scales with batch until HBM pressure;
+NTT-1024 peaks around batch 8192 (~1.5M ntt/s on v5e), PBS at batch 4096
+(~3.2K bootstraps/s with the level-2 gadget).  All timings are steady-state
+jitted dispatches (compile excluded), q = 2^40-2^32+1 for the 64-bit ring
+suites, torus 2^32 for TFHE.
 """
 from __future__ import annotations
 
@@ -17,7 +33,7 @@ import io
 import json
 import math
 import time
-from dataclasses import dataclass, field, asdict
+from dataclasses import dataclass, asdict
 
 import numpy as np
 import jax
@@ -26,12 +42,29 @@ __all__ = ["BenchmarkResult", "StatisticalAnalyzer", "BenchmarkTimer",
            "ComprehensiveBenchmarkRunner"]
 
 
+# Reference (M4 Max) throughputs from BASELINE.md, ops/sec, keyed by row
+# name.  Rows without an entry have no reference measurement (vs_baseline
+# left at 0.0 and explained in the README).
+_BASELINES = {
+    "modmul_batch_1024": 564_000.0,      # Barrett 4x, BENCHMARK_REPORT.md:31
+    "modmul_batch_16384": 37_200.0,      # BENCHMARK_REPORT.md:58
+    "ntt_forward_1024": 116_500.0,       # AMX matrix NTT, :86-97
+    "ntt_forward_4096": 25_200.0,        # SME tile NTT, :99-110
+    "ntt_forward_16384": 5_370.0,        # :112-123
+    "poly_mul_1024": 47_100.0,           # NTT-based, :125-131
+    "poly_mul_4096": 10_300.0,           # :133-139
+    "pbs_n630_N1024_l2": 50.0,           # <20ms/bootstrap, README.md:75
+    "pbs_n630_N1024_l3": 50.0,
+}
+
+
 @dataclass
 class BenchmarkResult:
     suite: str
     name: str
     backend: str
     size: int
+    batch: int
     mean_us: float
     stddev_us: float
     throughput_ops_s: float
@@ -103,9 +136,9 @@ class ComprehensiveBenchmarkRunner:
             correct = bool(np.array_equal(u64_to_np(mul(ap, bp)),
                                           mod_mul_np(a, b, q)))
             self._record("modmul", f"modmul_batch_{n}", "tpu-vpu", n,
-                         samples, n, correct)
+                         samples, n, correct, batch=n)
 
-    def benchmark_ntt(self, degrees=(1024, 4096), batch: int = 2048):
+    def benchmark_ntt(self, degrees=(1024, 4096), batch: int = 8192):
         from ..ops.ntt import NTTContext
         from ..ops.u64 import u64_from_np
         from ..core.params import Primes
@@ -123,9 +156,9 @@ class ComprehensiveBenchmarkRunner:
             inv = jax.jit(ntt.inverse)
             rt = u64_to_np(inv(fwd(u64_from_np(a[0]))))
             self._record("ntt", f"ntt_forward_{n}", "tpu-vpu", n, samples,
-                         batch, bool(np.array_equal(rt, a[0])))
+                         batch, bool(np.array_equal(rt, a[0])), batch=batch)
 
-    def benchmark_poly_mul(self, degrees=(1024,), batch: int = 512):
+    def benchmark_poly_mul(self, degrees=(1024,), batch: int = 2048):
         from ..ops.ntt import NTTContext, negacyclic_mul_np
         from ..ops.u64 import u64_from_np, u64_to_np
         from ..core.params import Primes
@@ -142,33 +175,42 @@ class ComprehensiveBenchmarkRunner:
             got = u64_to_np(mul(u64_from_np(a[0]), u64_from_np(b[0])))
             ok = bool(np.array_equal(got, negacyclic_mul_np(a[0], b[0], q)))
             self._record("poly_mul", f"poly_mul_{n}", "tpu-vpu", n, samples,
-                         batch, ok)
+                         batch, ok, batch=batch)
 
-    def benchmark_bootstrap(self, batch: int = 8, tiny: bool = True):
-        from ..core.bootstrap import TfheParams, TfheEngine
-
-        p = TfheParams(n_lwe=16, poly_degree=256, pbs_base_log=7,
-                       pbs_level=3, ks_base_log=4, ks_level=8,
-                       lwe_noise_std=0.0, glwe_noise_std=0.0) if tiny \
-            else TfheParams()
-        eng = TfheEngine(p)
-        key = jax.random.PRNGKey(0)
-        lwe_sk = eng.lwe_keygen(jax.random.fold_in(key, 0))
-        glwe_sk = eng.glwe_keygen(jax.random.fold_in(key, 1))
-        bsk = eng.generate_bootstrap_key(jax.random.fold_in(key, 2),
-                                        lwe_sk, glwe_sk)
+    def benchmark_bootstrap(self, batch: int = 4096, production: bool = True):
+        """TFHE PBS at the PRODUCTION shape (n=630, N=1024, k=1 — the
+        reference's TFHE_128 geometry) on the MXU external-product
+        backend, both gadget presets.  This is the row bench.py's headline
+        reproduces.  Set production=False for a tiny smoke shape."""
+        from ..core.bootstrap import (
+            TfheParams, TfheEngine, TFHE_BOOT_128, TFHE_BOOT_128_L2)
         import jax.numpy as jnp
-        msgs = jnp.arange(batch, dtype=jnp.uint32) % p.plaintext_modulus
-        msgs = jnp.where(msgs >= p.plaintext_modulus // 2, 0, msgs)
-        ct = eng.lwe_encrypt(jax.random.PRNGKey(3), msgs, lwe_sk)
-        tp = eng.default_test_poly()
-        samples = self.timer.run(lambda: eng.bootstrap_jit(ct, bsk, tp))
-        out = eng.bootstrap_jit(ct, bsk, tp)
-        dec = np.asarray(eng.lwe_decrypt(out, lwe_sk))
-        correct = bool(np.array_equal(dec, np.asarray(msgs)))
-        self._record("bootstrap",
-                     f"pbs_n{p.n_lwe}_N{p.poly_degree}", "tpu", batch,
-                     samples, batch, correct)
+
+        presets = ([("l2", TFHE_BOOT_128_L2()), ("l3", TFHE_BOOT_128())]
+                   if production else
+                   [("tiny", TfheParams(
+                       n_lwe=16, poly_degree=256, pbs_base_log=7,
+                       pbs_level=3, ks_base_log=4, ks_level=8,
+                       lwe_noise_std=0.0, glwe_noise_std=0.0))])
+        if not production:
+            batch = 8
+        for tag, p in presets:
+            eng = TfheEngine(p, ext_backend="mxu")
+            key = jax.random.PRNGKey(0)
+            lwe_sk = eng.lwe_keygen(jax.random.fold_in(key, 0))
+            glwe_sk = eng.glwe_keygen(jax.random.fold_in(key, 1))
+            bsk = eng.generate_bootstrap_key(jax.random.fold_in(key, 2),
+                                             lwe_sk, glwe_sk)
+            msgs = jnp.arange(batch, dtype=jnp.uint32) % 2
+            ct = eng.lwe_encrypt(jax.random.PRNGKey(3), msgs, lwe_sk)
+            tp = eng.default_test_poly()
+            samples = self.timer.run(lambda: eng.bootstrap_jit(ct, bsk, tp))
+            out = eng.bootstrap_jit(ct, bsk, tp)
+            dec = np.asarray(eng.lwe_decrypt(out, lwe_sk))
+            correct = bool(np.array_equal(dec, np.asarray(msgs)))
+            self._record(
+                "bootstrap", f"pbs_n{p.n_lwe}_N{p.poly_degree}_{tag}",
+                "tpu-mxu", batch, samples, batch, correct, batch=batch)
 
     def benchmark_pipeline(self, ballots: int = 64):
         """Encrypted-ballot tally pipeline throughput."""
@@ -192,43 +234,71 @@ class ComprehensiveBenchmarkRunner:
         dec = eng.decode(eng.phase(total, sk))
         self._record("pipeline", f"tally_{ballots}", "tpu", ballots,
                      samples, ballots,
-                     bool(int(dec[0]) == ballots % eng.t))
+                     bool(int(dec[0]) == ballots % eng.t), batch=ballots)
 
-    def run_full_suite(self):
+    def run_full_suite(self, production: bool = True):
         self.benchmark_modmul()
         self.benchmark_ntt()
         self.benchmark_poly_mul()
-        self.benchmark_bootstrap()
+        self.benchmark_bootstrap(production=production)
         self.benchmark_pipeline()
         return self.results
 
     # -- recording / export --------------------------------------------------
     def _record(self, suite, name, backend, size, samples, ops_per_iter,
-                correct):
+                correct, batch=1):
         mean, std = StatisticalAnalyzer.analyze(samples)
+        tput = ops_per_iter / mean if mean else 0.0
+        base = _BASELINES.get(name, 0.0)
         self.results.append(BenchmarkResult(
-            suite=suite, name=name, backend=backend, size=size,
+            suite=suite, name=name, backend=backend, size=size, batch=batch,
             mean_us=mean * 1e6, stddev_us=std * 1e6,
-            throughput_ops_s=ops_per_iter / mean if mean else 0.0,
-            speedup_vs_baseline=0.0, correct=correct))
+            throughput_ops_s=tput,
+            speedup_vs_baseline=(tput / base if base else 0.0),
+            correct=correct))
 
     def export_csv(self) -> dict:
         """Per-suite CSVs, same column layout as the reference's
-        NTT_(degree=1024).csv etc."""
+        NTT_(degree=1024).csv etc. plus batch + speedup columns."""
         out = {}
         suites = {r.suite for r in self.results}
         for s in suites:
             buf = io.StringIO()
             w = csv.writer(buf)
-            w.writerow(["name", "backend", "size", "mean_us", "stddev_us",
-                        "throughput_ops_s", "correct"])
+            w.writerow(["name", "backend", "size", "batch", "mean_us",
+                        "stddev_us", "throughput_ops_s",
+                        "speedup_vs_baseline", "correct"])
             for r in self.results:
                 if r.suite == s:
-                    w.writerow([r.name, r.backend, r.size,
+                    w.writerow([r.name, r.backend, r.size, r.batch,
                                 f"{r.mean_us:.2f}", f"{r.stddev_us:.2f}",
-                                f"{r.throughput_ops_s:.1f}", r.correct])
+                                f"{r.throughput_ops_s:.1f}",
+                                f"{r.speedup_vs_baseline:.2f}", r.correct])
             out[s] = buf.getvalue()
         return out
 
     def export_json(self) -> str:
         return json.dumps([asdict(r) for r in self.results], indent=2)
+
+
+def main():
+    import os
+    import sys
+    outdir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "benchmark_results")
+    runner = ComprehensiveBenchmarkRunner()
+    runner.run_full_suite()
+    os.makedirs(outdir, exist_ok=True)
+    for suite, text in runner.export_csv().items():
+        with open(os.path.join(outdir, f"{suite}.csv"), "w") as f:
+            f.write(text)
+    with open(os.path.join(outdir, "benchmark_results.json"), "w") as f:
+        f.write(runner.export_json())
+    for r in runner.results:
+        print(f"{r.suite:10s} {r.name:28s} {r.throughput_ops_s:14,.1f} ops/s"
+              f"  x{r.speedup_vs_baseline:8.2f}  correct={r.correct}")
+
+
+if __name__ == "__main__":
+    main()
