@@ -63,8 +63,15 @@ class FHEEngine:
     def __init__(self, params: ParameterSet,
                  tfhe_params: TfheParams | None = None, rng_seed: int = 0):
         self.params = params
-        self.engine = EncryptionEngine(params)
-        self.ring: PolyRing = self.engine.ring
+        if len(params.moduli) > 1:
+            # Multi-modulus chain -> full RNS compute (the reference carries
+            # these chains in its presets but computes on moduli[0] only;
+            # polynomial_ring.h:504-508).
+            from ..core.rns import RnsEncryptionEngine
+            self.engine = RnsEncryptionEngine(params)
+        else:
+            self.engine = EncryptionEngine(params)
+        self.ring = self.engine.ring
         self.keys = KeyManager(params, self.ring)
         self.tfhe = TfheEngine(tfhe_params or TfheParams())
         self._key = jax.random.PRNGKey(rng_seed)
@@ -202,11 +209,18 @@ class FHEEngine:
         return ct.noise_budget
 
     # -- serialization -------------------------------------------------------
+    @property
+    def _ser_modulus(self) -> int:
+        # Header modulus field is u64; for RNS chains record the first prime
+        # (the ring layout is implied by the engine's parameter set).
+        return self.params.moduli[0]
+
     def serialize_secret_key(self, sk: SecretKey,
                              compression=CompressionType.NONE) -> bytes:
         return serialize_polynomial(
-            u64_to_np(sk.poly), Magic.SECRET_KEY, key_id=sk.key_id,
-            modulus=self.ring.q, compression=compression)
+            np.asarray(self.ring.to_np(sk.poly)).reshape(-1),
+            Magic.SECRET_KEY, key_id=sk.key_id,
+            modulus=self._ser_modulus, compression=compression)
 
     def deserialize_secret_key(self, raw: bytes) -> SecretKey:
         hdr, coeffs = deserialize_polynomial(raw, Magic.SECRET_KEY)
@@ -214,9 +228,11 @@ class FHEEngine:
 
     def serialize_public_key(self, pk: PublicKey,
                              compression=CompressionType.NONE) -> bytes:
-        data = np.stack([u64_to_np(pk.a), u64_to_np(pk.b)])
+        data = np.stack([np.asarray(self.ring.to_np(pk.a)).reshape(-1),
+                         np.asarray(self.ring.to_np(pk.b)).reshape(-1)])
         return serialize_polynomial(data.reshape(-1), Magic.PUBLIC_KEY,
-                                    key_id=pk.key_id, modulus=self.ring.q,
+                                    key_id=pk.key_id,
+                                    modulus=self._ser_modulus,
                                     compression=compression)
 
     def deserialize_public_key(self, raw: bytes) -> PublicKey:
@@ -227,17 +243,20 @@ class FHEEngine:
 
     def serialize_ciphertext(self, ct: Ciphertext,
                              compression=CompressionType.NONE) -> bytes:
-        parts = [u64_to_np(ct.c0), u64_to_np(ct.c1)]
+        parts = [np.asarray(self.ring.to_np(ct.c0)).reshape(-1),
+                 np.asarray(self.ring.to_np(ct.c1)).reshape(-1)]
         if ct.is_degree_2:
-            parts.append(u64_to_np(ct.c2))
+            parts.append(np.asarray(self.ring.to_np(ct.c2)).reshape(-1))
         data = np.stack(parts)
         return serialize_polynomial(data.reshape(-1), Magic.BALLOT,
-                                    key_id=ct.key_id, modulus=self.ring.q,
+                                    key_id=ct.key_id,
+                                    modulus=self._ser_modulus,
                                     compression=compression)
 
     def deserialize_ciphertext(self, raw: bytes) -> Ciphertext:
         hdr, coeffs = deserialize_polynomial(raw, Magic.BALLOT)
-        flat = np.asarray(coeffs).reshape(-1, self.ring.n)
+        nc = self.ring.n * getattr(self.ring, "K", 1)
+        flat = np.asarray(coeffs).reshape(-1, nc)
         c2 = self.ring.from_np(flat[2]) if flat.shape[0] == 3 else None
         return Ciphertext(c0=self.ring.from_np(flat[0]),
                           c1=self.ring.from_np(flat[1]), c2=c2,

@@ -35,7 +35,7 @@ from ..ops import digits as dg
 from ..ops.primes import find_ntt_prime, two_adicity
 from ..ops.u64 import U32, u64_from_int
 
-__all__ = ["RescaleMultiplier", "aux_prime_chain"]
+__all__ = ["RescaleMultiplier", "RnsRescaleMultiplier", "aux_prime_chain"]
 
 
 def aux_prime_chain(degree: int, min_product_bits: int,
@@ -214,4 +214,198 @@ class RescaleMultiplier:
         for comp in range(3):
             xd, neg = self._crt_digits([r[comp] for r in residues])
             out.append(self._rescale_digits(xd, neg))
+        return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# RNS (multi-modulus) variant
+# ---------------------------------------------------------------------------
+
+class _DigitsModP:
+    """Reduce a strict base-256 digit array mod p on device.
+
+    Digits group into 24-bit chunks (exact in int32), then a dot against a
+    precomputed (2^24)^j mod p table of u64-plane constants: D digits cost
+    ceil(D/3) modmuls instead of D."""
+
+    def __init__(self, ctx: ModCtx, max_digits: int):
+        self.ctx = ctx
+        n_chunks = (max_digits + 2) // 3
+        p = ctx.q
+        self._pow = [u64_from_int(pow(1 << 24, j, p)) for j in range(n_chunks)]
+
+    def __call__(self, digits):
+        d = digits
+        pad = (-d.shape[-1]) % 3
+        if pad:
+            d = jnp.pad(d, [(0, 0)] * (d.ndim - 1) + [(0, pad)])
+        chunks = (d[..., 0::3] + 256 * d[..., 1::3]
+                  + 65536 * d[..., 2::3]).astype(U32)
+        acc = None
+        for j in range(chunks.shape[-1]):
+            term = self.ctx.mul((chunks[..., j], jnp.zeros_like(chunks[..., j])),
+                                self._pow[j])
+            acc = term if acc is None else self.ctx.add(acc, term)
+        return acc
+
+
+class RnsRescaleMultiplier:
+    """BFV multiply-with-rescale over an RNS moduli chain Q = prod q_i.
+
+    Same semantics as :class:`RescaleMultiplier` with q -> Q, except
+    ciphertext polynomials come and go as RNS residue tuples (one u64-plane
+    pair per q_i).  Pipeline:
+
+    1. exact CRT recombination of the input residues into centered
+       base-256 digit representatives of X in (-Q/2, Q/2] (digit planes —
+       no floating-point alpha estimation, so no BEHZ/HPS boundary error);
+    2. reduce the digits mod each auxiliary NTT prime (24-bit chunk dot);
+    3. negacyclic tensor products per aux prime (exact over Z since
+       M = prod p_j > N * Q^2);
+    4. recombine to |X| digits over the aux basis, Barrett-rescale
+       y = round(t*X/Q), and reduce y mod each output prime.
+
+    Reference semantics: encryption.cpp:737-799 + :234-301; RNS-readiness:
+    polynomial_ring.h:504-508 (the reference carries moduli chains in its
+    presets but only ever computes on moduli[0]).
+    """
+
+    def __init__(self, degree: int, moduli: list, t: int):
+        self.n = degree
+        self.moduli = list(moduli)
+        self.t = t
+        Q = math.prod(self.moduli)
+        self.Q = Q
+        self.qctx = [ModCtx(q) for q in self.moduli]
+
+        # ---- input basis constants (exact CRT lift of RNS -> digits)
+        self.d_q = (Q.bit_length() + 8) // 8 + 1        # digits for X < K*Q
+        self._q_digits = dg.digits_from_int(Q, self.d_q)
+        self._q_half_digits = dg.digits_from_int(Q // 2, self.d_q)
+        self._inv_qi_star = []                          # (Q/q_i)^-1 mod q_i
+        self._qi_star_digits = []                       # Q/q_i as digits
+        dqi = (max((Q // q).bit_length() for q in self.moduli) + 7) // 8
+        for q in self.moduli:
+            qi_star = Q // q
+            self._inv_qi_star.append(u64_from_int(pow(qi_star % q, -1, q)))
+            self._qi_star_digits.append(dg.digits_from_int(qi_star, dqi))
+        self.d_qi = dqi
+
+        # ---- auxiliary basis: M > 2 * N * (Q/2)^2
+        bound_bits = degree.bit_length() + 2 * Q.bit_length() + 2
+        self.aux_primes = aux_prime_chain(degree, bound_bits,
+                                          exclude=tuple(self.moduli))
+        self.aux_ntt = [NTTContext(degree, p) for p in self.aux_primes]
+        self.aux_ctx = [c.ctx for c in self.aux_ntt]
+        M = math.prod(self.aux_primes)
+        self.M = M
+        self.d_m = (M.bit_length() + 8) // 8 + 1
+        self._m_digits = dg.digits_from_int(M, self.d_m)
+        self._m_half_digits = dg.digits_from_int(M // 2, self.d_m)
+        self._mi_digits = []
+        self._inv_mi = []
+        dmi = (max((M // p).bit_length() for p in self.aux_primes) + 7) // 8
+        for p in self.aux_primes:
+            mi = M // p
+            self._mi_digits.append(dg.digits_from_int(mi, dmi))
+            self._inv_mi.append(u64_from_int(pow(mi % p, -1, p)))
+        self.d_mi = dmi
+
+        # ---- rescale constants: y = floor((t*X + Q/2) * MU >> K)
+        z_bits = t.bit_length() + bound_bits + 1
+        self.K = ((z_bits + 24) + 7) // 8 * 8
+        self.mu = (1 << self.K) // Q
+        self.d_t = max(1, (t.bit_length() + 7) // 8)
+        self._t_digits = dg.digits_from_int(t, self.d_t)
+        self.d_z = self.d_m + self.d_t + 1
+        self._qhalf_z_digits = dg.digits_from_int(Q // 2, self.d_z)
+        self.d_mu = (self.mu.bit_length() + 7) // 8
+        self._mu_digits = dg.digits_from_int(self.mu, self.d_mu)
+        self.d_y = self.d_z + self.d_mu - self.K // 8   # digits of y < t*N*Q/2
+
+        # digit -> mod-p reducers
+        self._aux_red = [_DigitsModP(c, self.d_q) for c in self.aux_ctx]
+        self._out_red = [_DigitsModP(c, self.d_y) for c in self.qctx]
+
+    # -- RNS residues -> centered digit representative -----------------------
+    def _rns_to_centered_digits(self, rns_planes):
+        """[(lo, hi)] per input prime -> (|X| digits, neg mask) with
+        X = CRT(residues) in (-Q/2, Q/2]."""
+        cols = None
+        for i, r in enumerate(rns_planes):
+            ti = self.qctx[i].mul(r, self._inv_qi_star[i])
+            td = _u64_to_digits(ti, 8)
+            c = _conv(td, self._qi_star_digits[i], out_len=self.d_q)
+            cols = c if cols is None else cols + c
+        x, _ = dg.exact_norm(cols)
+        for _ in range(len(self.moduli) - 1):            # X < K*Q -> [0, Q)
+            d, ge = dg.sub_digits(x, self._q_digits)
+            x = dg.select(ge, d, x)
+        neg = ~dg.geq_digits(self._q_half_digits, x)     # X > Q/2
+        q_minus_x, _ = dg.sub_digits(self._q_digits, x)
+        return dg.select(neg, q_minus_x, x), neg
+
+    def _lift_to_aux(self, rns_planes):
+        """RNS residues -> centered residue mod every aux prime."""
+        xd, neg = self._rns_to_centered_digits(rns_planes)
+        out = []
+        for j, ctx in enumerate(self.aux_ctx):
+            r = self._aux_red[j](xd)
+            r_neg = ctx.neg(r)
+            out.append((jnp.where(neg, r_neg[0], r[0]),
+                        jnp.where(neg, r_neg[1], r[1])))
+        return out
+
+    # -- aux-basis recombination (same shape as RescaleMultiplier._crt_digits)
+    def _crt_digits_aux(self, residues):
+        cols = None
+        for i, r in enumerate(residues):
+            ti = self.aux_ctx[i].mul(r, self._inv_mi[i])
+            td = _u64_to_digits(ti, 8)
+            c = _conv(td, self._mi_digits[i], out_len=self.d_m)
+            cols = c if cols is None else cols + c
+        x, _ = dg.exact_norm(cols)
+        for _ in range(len(self.aux_primes) - 1):
+            d, ge = dg.sub_digits(x, self._m_digits)
+            x = dg.select(ge, d, x)
+        neg = ~dg.geq_digits(self._m_half_digits, x)
+        m_minus_x, _ = dg.sub_digits(self._m_digits, x)
+        return dg.select(neg, m_minus_x, x), neg
+
+    def _rescale_to_rns(self, xd, neg):
+        """round(t * X / Q) mod q_i for every output prime -> RNS planes."""
+        zc = _conv(xd, self._t_digits, out_len=self.d_z)
+        zc = zc + self._qhalf_z_digits
+        z, _ = dg.exact_norm(zc)
+        yc = _conv(z, self._mu_digits, out_len=self.d_z + self.d_mu)
+        y, _ = dg.exact_norm(yc)
+        y = y[..., self.K // 8:]                         # >> K
+        out = []
+        for i, ctx in enumerate(self.qctx):
+            r = self._out_red[i](y)
+            r_neg = ctx.neg(r)
+            out.append((jnp.where(neg, r_neg[0], r[0]),
+                        jnp.where(neg, r_neg[1], r[1])))
+        return out
+
+    def multiply(self, a0, a1, b0, b1):
+        """Exact RNS BFV multiply: inputs are residue lists [(lo, hi)] per
+        modulus; returns (d0, d1, d2) each a residue list."""
+        la0 = self._lift_to_aux(a0)
+        la1 = self._lift_to_aux(a1)
+        lb0 = self._lift_to_aux(b0)
+        lb1 = self._lift_to_aux(b1)
+        residues = []
+        for i, ntt in enumerate(self.aux_ntt):
+            ctx = ntt.ctx
+            fa0, fa1 = ntt.forward(la0[i]), ntt.forward(la1[i])
+            fb0, fb1 = ntt.forward(lb0[i]), ntt.forward(lb1[i])
+            d0 = ntt.inverse(ctx.mul(fa0, fb0))
+            d1 = ntt.inverse(ctx.add(ctx.mul(fa0, fb1), ctx.mul(fa1, fb0)))
+            d2 = ntt.inverse(ctx.mul(fa1, fb1))
+            residues.append((d0, d1, d2))
+        out = []
+        for comp in range(3):
+            xd, neg = self._crt_digits_aux([r[comp] for r in residues])
+            out.append(tuple(self._rescale_to_rns(xd, neg)))
         return tuple(out)

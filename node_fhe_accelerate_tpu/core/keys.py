@@ -96,8 +96,11 @@ class KeyManager:
         elif distribution == SecretKeyDistribution.GAUSSIAN:
             p = ring.sample_gaussian(key, self._noise_std())
         elif distribution == SecretKeyDistribution.BINARY:
-            from ..ops.sampling import binary_planes
-            p = binary_planes(key, (ring.n,))
+            if hasattr(ring, "sample_binary"):
+                p = ring.sample_binary(key)
+            else:
+                from ..ops.sampling import binary_planes
+                p = binary_planes(key, (ring.n,))
         else:
             p = ring.sample_uniform(key)
         return SecretKey(poly=p, key_id=key_id)
@@ -126,6 +129,12 @@ class KeyManager:
         bug is invisible there.)"""
         params = self.params
         ring = self.ring
+        if getattr(ring, "rings", None) is not None:
+            # RNS ring: relinearization uses the RNS gadget (CRT-component
+            # decomposition), not binary digits — see core/rns.RnsKeySet.
+            from .rns import RnsKeySet
+            return RnsKeySet(ring, self._noise_std()).generate_relin_key(
+                key, sk)
         base_log = decomp_base_log or params.decomp_base_log
         levels = decomp_level or params.decomp_level
         q_bits = int(ring.q).bit_length()

@@ -100,7 +100,14 @@ class ParameterSet:
         """
         s = self.lwe_noise_std
         if s < 0.5:
-            s = s * float(self.q_total)
+            # Scale by the FIRST modulus, not the composite Q: the
+            # fraction-of-modulus convention is per-prime (torus-2^32
+            # artifact).  Scaling by Q would explode sigma past the primes
+            # themselves for RNS chains (|e| must stay < min q_i for the
+            # int32 discrete-gaussian sampler, ops/sampling.py), and RLWE
+            # security needs only absolute sigma >= ~3.2 (SEAL uses 3.19)
+            # regardless of how many moduli the chain carries.
+            s = s * float(self.moduli[0])
         return max(s, 3.2)
 
     def calculate_derived_parameters(self) -> None:
