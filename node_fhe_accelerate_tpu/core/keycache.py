@@ -1,0 +1,144 @@
+"""Bootstrap-key serialization and on-disk caching.
+
+BSK generation is the single most expensive keygen in the framework
+(n * level * (k+1) GGSW encryptions, each an NTT batch — minutes at
+production shapes).  The reference amortizes it by serializing the key
+(serialization.h BOOTSTRAP_KEY magic); this module does the same through
+the framework serializer (FHEB blob, CRC32, optional zlib) plus a
+content-addressed disk cache so repeat runs (benchmarks, notebooks,
+services restarting) pay keygen exactly once per (params, seed, backend).
+
+The npz payload stores each BootstrapKey leaf; TfheParams rides as JSON so
+a loaded key validates against the engine that consumes it.
+"""
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import io
+import json
+import os
+
+import numpy as np
+import jax
+
+from .bootstrap import BootstrapKey, TfheParams
+from .serializer import (
+    Magic, CompressionType, SerializationError,
+    serialize_blob, deserialize_blob,
+)
+
+__all__ = ["serialize_bootstrap_key", "deserialize_bootstrap_key",
+           "BootstrapKeyCache"]
+
+
+def serialize_bootstrap_key(bsk: BootstrapKey,
+                            compression=CompressionType.NONE) -> bytes:
+    """BootstrapKey -> FHEB blob (header + checksummed npz payload)."""
+    arrays = {}
+    if bsk.ggsw_i8 is not None:
+        arrays["ggsw_i8"] = np.asarray(bsk.ggsw_i8)
+    if bsk.ggsw_ext is not None:
+        arrays["ggsw_ext_lo"] = np.asarray(bsk.ggsw_ext[0])
+        arrays["ggsw_ext_hi"] = np.asarray(bsk.ggsw_ext[1])
+    arrays["ksk_a"] = np.asarray(bsk.ksk_a)
+    arrays["ksk_b"] = np.asarray(bsk.ksk_b)
+    arrays["params_json"] = np.frombuffer(
+        json.dumps(dataclasses.asdict(bsk.params)).encode(), dtype=np.uint8)
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return serialize_blob(Magic.BOOTSTRAP_KEY, buf.getvalue(),
+                          poly_degree=bsk.params.poly_degree,
+                          modulus=bsk.params.n_lwe,
+                          compression=compression)
+
+
+def deserialize_bootstrap_key(raw: bytes,
+                              expected_params: TfheParams | None = None
+                              ) -> BootstrapKey:
+    """FHEB blob -> BootstrapKey (device arrays); validates params match."""
+    _, payload = deserialize_blob(raw, Magic.BOOTSTRAP_KEY)
+    with np.load(io.BytesIO(payload)) as z:
+        params = TfheParams(**json.loads(bytes(z["params_json"]).decode()))
+        if expected_params is not None and params != expected_params:
+            raise SerializationError(
+                f"bootstrap key params {params} != engine params "
+                f"{expected_params}")
+        import jax.numpy as jnp
+        ggsw_i8 = jnp.asarray(z["ggsw_i8"]) if "ggsw_i8" in z else None
+        ggsw_ext = None
+        if "ggsw_ext_lo" in z:
+            ggsw_ext = (jnp.asarray(z["ggsw_ext_lo"]),
+                        jnp.asarray(z["ggsw_ext_hi"]))
+        return BootstrapKey(ksk_a=jnp.asarray(z["ksk_a"]),
+                            ksk_b=jnp.asarray(z["ksk_b"]),
+                            params=params, ggsw_ext=ggsw_ext,
+                            ggsw_i8=ggsw_i8)
+
+
+class BootstrapKeyCache:
+    """Content-addressed BSK disk cache.
+
+    Key = SHA-256 over (TfheParams fields, PRNG key bytes, backend tag);
+    a hit deserializes the FHEB blob (checksum-verified), a miss runs the
+    engine's keygen and writes through.  Corrupt or stale entries are
+    evicted, never trusted.
+    """
+
+    def __init__(self, cache_dir: str = ".keycache"):
+        self.dir = cache_dir
+
+    def _path(self, engine, seed: int) -> str:
+        h = hashlib.sha256()
+        h.update(json.dumps(dataclasses.asdict(engine.p)).encode())
+        h.update(str(int(seed)).encode())
+        h.update(engine.backend.encode())
+        return os.path.join(self.dir, h.hexdigest()[:32] + ".fheb")
+
+    def get_or_generate(self, engine, seed: int):
+        """Deterministic (lwe_sk, glwe_sk, bsk) from a host-int seed.
+
+        The cache owns the WHOLE keygen so the cached BSK always matches
+        the secret keys it returns (a caller-supplied sk could silently
+        mismatch a disk hit).  Secret keys are cheap and regenerate from
+        the seed every call; only the BSK round-trips through disk.
+        `seed` is a host int (NOT a PRNGKey): hashing device key bytes
+        would force a device->host transfer, which permanently degrades
+        the axon dispatch path (docs/OPERATIONS.md) — and benchmarks call
+        this before their timing loops.
+        """
+        lwe_sk, glwe_sk, bsk = self.load(engine, seed)
+        if bsk is None:
+            root = jax.random.PRNGKey(seed)
+            bsk = engine.generate_bootstrap_key(jax.random.fold_in(root, 2),
+                                                lwe_sk, glwe_sk)
+            self.store(engine, seed, bsk)
+        return lwe_sk, glwe_sk, bsk
+
+    def load(self, engine, seed: int):
+        """(lwe_sk, glwe_sk, bsk-or-None) without generating on miss.
+
+        Benchmarks use load/store split around their timing loops: `store`
+        forces device->host reads of the whole BSK, which must happen only
+        AFTER timing on the axon path."""
+        root = jax.random.PRNGKey(seed)
+        lwe_sk = engine.lwe_keygen(jax.random.fold_in(root, 0))
+        glwe_sk = engine.glwe_keygen(jax.random.fold_in(root, 1))
+        path = self._path(engine, seed)
+        if os.path.exists(path):
+            try:
+                with open(path, "rb") as f:
+                    bsk = deserialize_bootstrap_key(f.read(), engine.p)
+                return lwe_sk, glwe_sk, bsk
+            except Exception:  # corrupt/stale entry: evict, regenerate
+                os.remove(path)
+        return lwe_sk, glwe_sk, None
+
+    def store(self, engine, seed: int, bsk: BootstrapKey) -> str:
+        path = self._path(engine, seed)
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(serialize_bootstrap_key(bsk))
+        os.replace(tmp, path)
+        return path

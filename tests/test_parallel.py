@@ -71,3 +71,54 @@ def test_sharded_pbs_matches_single_device():
     np.testing.assert_array_equal(np.asarray(out.b), np.asarray(ref.b))
     dec = np.asarray(eng.lwe_decrypt(out, lwe_sk))
     np.testing.assert_array_equal(dec, np.asarray(msgs))
+
+class TestMultihost:
+    """Multi-host (DCN) layer on a single process: the degradation paths
+    that let the same program run from one chip to a pod
+    (parallel/multihost.py; SURVEY.md §5.8)."""
+
+    def test_initialize_noop_and_process_info(self):
+        from node_fhe_accelerate_tpu.parallel.multihost import (
+            initialize_distributed,
+        )
+        info = initialize_distributed()  # no env/args: must not touch jax.distributed
+        assert info["process_count"] == 1
+        assert info["global_devices"] == 8
+
+    def test_host_mesh_layout(self):
+        from node_fhe_accelerate_tpu.parallel.multihost import make_host_mesh
+        mesh = make_host_mesh(model=2)
+        assert mesh.axis_names == ("data", "model")
+        assert mesh.devices.shape == (4, 2)
+        import pytest
+        with pytest.raises(ValueError, match="ICI"):
+            make_host_mesh(model=16)
+
+    def test_host_local_batch_split(self):
+        from node_fhe_accelerate_tpu.parallel.multihost import (
+            host_local_batch,
+        )
+        per, off = host_local_batch(64)
+        assert (per, off) == (64, 0)  # single process owns everything
+
+    def test_assemble_global_tally(self):
+        """Host-fed shards -> global data-sharded array -> modular psum
+        equals the host oracle (the cross-DCN aggregation pattern)."""
+        from node_fhe_accelerate_tpu.parallel.multihost import (
+            make_host_mesh, assemble_global,
+        )
+        q = (1 << 40) - (1 << 32) + 1
+        ctx = ModCtx(q)
+        mesh = make_host_mesh(model=1)
+        rng = np.random.default_rng(3)
+        vals = rng.integers(0, q, size=(8, 32), dtype=np.uint64)
+        lo_np, hi_np = u64_from_np(vals)
+        lo = assemble_global(mesh, np.asarray(lo_np))
+        hi = assemble_global(mesh, np.asarray(hi_np))
+        assert lo.sharding.spec == P("data", None)
+        f = shard_map(lambda pl: psum_mod(ctx, pl, "data"), mesh=mesh,
+                      in_specs=(P("data", None),), out_specs=P("data", None))
+        got = u64_to_np(jax.jit(f)((lo, hi)))
+        want = np.array(vals.astype(object).sum(axis=0) % q, dtype=np.uint64)
+        for d in range(8):
+            np.testing.assert_array_equal(got[d], want)
