@@ -98,9 +98,36 @@ class DistPolyRing:
         z = jnp.zeros(batch + (self.n,), jnp.uint32)
         return (z, z)
 
+    def constant(self, value: int, batch=()):
+        coeffs = np.zeros(self.n, dtype=np.uint64)
+        coeffs[0] = value % self.q
+        pl = self.from_np(coeffs)
+        if batch:
+            pl = (jnp.broadcast_to(pl[0], batch + (self.n,)),
+                  jnp.broadcast_to(pl[1], batch + (self.n,)))
+        return pl
+
+    # -- sampling (same samplers as core/poly.PolyRing: the coefficient
+    # layout is identical (..., N) planes; only transforms are sharded) ------
+    def sample_uniform(self, key, batch=()):
+        from ..ops import sampling
+        return sampling.uniform_mod_q(key, batch + (self.n,), self.ctx)
+
+    def sample_ternary(self, key, batch=()):
+        from ..ops import sampling
+        return sampling.ternary(key, batch + (self.n,), self.q)
+
+    def sample_gaussian(self, key, std_dev: float, batch=()):
+        from ..ops import sampling
+        return sampling.gaussian(key, batch + (self.n,), std_dev, self.q)
+
     # -- elementwise (shard trivially under jit) -------------------------------
     def add(self, a, b):
         return self.ctx.add(a, b)
+
+    def scalar_mul(self, a, scalar: int):
+        from ..ops.u64 import u64_from_int
+        return self.ctx.mul(a, u64_from_int(scalar % self.q))
 
     def sub(self, a, b):
         return self.ctx.sub(a, b)
