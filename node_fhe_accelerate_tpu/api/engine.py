@@ -122,8 +122,17 @@ class FHEEngine:
     def encrypt(self, pt: Plaintext, pk: PublicKey) -> Ciphertext:
         return self.engine.encrypt(self._fresh_key(), pt.values, pk)
 
-    def batch_encrypt(self, pts: list, pk: PublicKey) -> list:
-        return [self.encrypt(p, pk) for p in pts]
+    def batch_encrypt(self, pts: list, pk: PublicKey,
+                      progress=None) -> list:
+        """`progress(i, total, stage)` fires per ciphertext — the
+        ProgressCallback contract of the reference's long ops
+        (src/index.ts:74-79), same signature as PublicVerifier's."""
+        out = []
+        for i, p in enumerate(pts):
+            out.append(self.encrypt(p, pk))
+            if progress:
+                progress(i + 1, len(pts), "encrypting")
+        return out
 
     # -- decryption ----------------------------------------------------------
     def decrypt_value(self, ct: Ciphertext, sk: SecretKey) -> int:
@@ -156,8 +165,15 @@ class FHEEngine:
     def negate(self, ct):
         return self.engine.negate(ct)
 
-    def batch_add(self, cts: list):
-        return self.engine.batch_add(cts)
+    def batch_add(self, cts: list, progress=None):
+        if progress is None:
+            return self.engine.batch_add(cts)
+        total = len(cts)
+        acc = cts[0]
+        for i, ct in enumerate(cts[1:], start=2):
+            acc = self.engine.add(acc, ct)
+            progress(i, total, "tallying")
+        return acc
 
     def multiply(self, a, b):
         return self.engine.multiply(a, b)

@@ -224,3 +224,20 @@ class TestFraud:
         det = FraudDetector(eng)
         assert det.check_threshold(101, 100).alerts
         assert not det.check_threshold(99, 100).alerts
+
+
+def test_progress_callbacks_on_long_ops():
+    """ProgressCallback parity (src/index.ts:74-79): batch_encrypt and
+    batch_add report (current, total, stage)."""
+    from node_fhe_accelerate_tpu.api.engine import FHEEngine
+    eng = FHEEngine(small_params())
+    sk = eng.generate_secret_key()
+    pk = eng.generate_public_key(sk)
+    seen = []
+    pts = [eng.create_plaintext(1) for _ in range(4)]
+    cts = eng.batch_encrypt(pts, pk, progress=lambda i, t, s: seen.append((i, t, s)))
+    assert seen == [(i, 4, "encrypting") for i in range(1, 5)]
+    seen.clear()
+    total = eng.batch_add(cts, progress=lambda i, t, s: seen.append((i, t, s)))
+    assert seen == [(i, 4, "tallying") for i in range(2, 5)]
+    assert eng.decrypt_value(total, sk) == 4
