@@ -1,0 +1,302 @@
+"""CKKS approximate arithmetic over the RNS modulus chain.
+
+The reference ships a CKKS parameter preset (CKKS_128_ML: N=16384,
+5-modulus chain, scale 2^40 — cpp/src/parameter_set.cpp:226-259) but no
+CKKS compute: its encryption engine only implements BFV integer semantics
+on moduli[0].  This module makes the preset real, TPU-style, on top of the
+RNS rings (core/rns.py):
+
+* **Encoding** (host edge): the canonical embedding via FFT — slots are
+  evaluations of m(X) at the odd 2N-th roots of unity; encode is
+  conjugate-extend -> IFFT -> twist by zeta^-k -> round(scale * .).  O(N
+  log N) with numpy, so production N=16384 costs microseconds (no O(N^2)
+  Vandermonde).
+* **Homomorphic ops** (device): CKKS multiply is just the per-prime NTT
+  tensor product — no exact-integer CRT machinery needed, because the
+  scale bookkeeping (not a t/q rescale) absorbs the Delta^2; then the RNS
+  keyswitch (same gadget as core/rns.RnsKeySet, one key per level) and the
+  exact RNS rescale c' = (c - [c]_{q_L}) * q_L^{-1} dropping the last
+  prime.
+* **Levels**: a ciphertext carries its modulus-chain length and exact
+  scale (a Fraction: scales compose as Delta^2/q_L and must stay exact for
+  decode).  `mod_down` drops residues without rescaling (scale unchanged)
+  to align operand levels.
+
+Precision contract: decode error ~ (encryption noise + N * rounding) /
+scale; with sigma 3.2 and scale >= 2^25 that is < 1e-4 relative on unit
+values, asserted in tests/test_ckks.py.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from fractions import Fraction
+from typing import Any
+
+import numpy as np
+import jax
+
+from .params import ParameterSet
+from .rns import RnsPolyRing, RnsKeySet, RnsRelinKey
+
+__all__ = ["CkksEncoder", "CkksCiphertext", "CkksEngine"]
+
+
+class CkksEncoder:
+    """Canonical-embedding encoder (host edge, FFT-based).
+
+    Slots: z in C^(N/2).  m(zeta^(2j+1)) for j < N/2 carry z; the
+    conjugate roots carry conj(z), which forces real coefficients.
+    """
+
+    def __init__(self, degree: int):
+        self.n = degree
+        k = np.arange(degree)
+        # zeta = primitive 2N-th root; evaluation at odd roots via one FFT
+        self._twist = np.exp(1j * np.pi * k / degree)        # zeta^k
+        self._untwist = np.conj(self._twist)
+
+    def encode(self, values, scale: int | float) -> np.ndarray:
+        """complex/real slots (up to N/2) -> integer coefficient array
+        (object dtype, signed) at the given scale."""
+        z = np.asarray(values, dtype=np.complex128).reshape(-1)
+        if len(z) > self.n // 2:
+            raise ValueError(f"at most N/2 = {self.n // 2} slots")
+        full = np.zeros(self.n // 2, dtype=np.complex128)
+        full[: len(z)] = z
+        # conjugate-symmetric evaluation vector: v[N-1-j] = conj(v[j]).
+        # Evaluation at zeta^(2j+1) is the POSITIVE-sign DFT kernel
+        # (v_j = sum_k (c_k zeta^k) e^{+2 pi i jk/N}), i.e. numpy's ifft*N;
+        # its inverse is fft/N.
+        v = np.concatenate([full, np.conj(full[::-1])])
+        c = np.fft.fft(v) / self.n * self._untwist
+        coeffs = np.round(np.real(c) * float(scale)).astype(object)
+        return np.array([int(x) for x in coeffs], dtype=object)
+
+    def decode(self, coeffs, scale: Fraction, num_slots: int | None = None
+               ) -> np.ndarray:
+        """Signed integer coefficients -> complex slots at the exact scale."""
+        c = np.array([float(Fraction(int(x)) / scale) for x in coeffs])
+        v = np.fft.ifft(c * self._twist) * self.n
+        slots = v[: self.n // 2]
+        return slots[:num_slots] if num_slots else slots
+
+
+@dataclass
+class CkksCiphertext:
+    c0: Any                  # residue tuples, length = level
+    c1: Any
+    c2: Any = None
+    level: int = 0           # number of live moduli
+    scale: Fraction = Fraction(1)
+    key_id: str = "ckks"
+
+    @property
+    def is_degree_2(self):
+        return self.c2 is not None
+
+
+class CkksEngine:
+    """Leveled CKKS over params.moduli (uses EVERY prime in the chain)."""
+
+    def __init__(self, params: ParameterSet, scale: int | None = None,
+                 noise_std: float | None = None):
+        self.params = params
+        self.K = len(params.moduli)
+        # ring per level: level L computes over moduli[:L]
+        self.rings = [RnsPolyRing(params.poly_degree, params.moduli[:L])
+                      for L in range(1, self.K + 1)]
+        self.ring = self.rings[-1]
+        self.encoder = CkksEncoder(params.poly_degree)
+        # default scale: the geometric middle modulus keeps rescaled scales
+        # near the original (HEAAN convention: Delta ~ q_i of the dropped
+        # levels); presets carry ckks_scale when set.
+        self.scale = int(scale if scale is not None
+                         else getattr(params, "ckks_scale", 0)
+                         or 1 << (params.moduli[1].bit_length() - 1
+                                  if self.K > 1 else 40))
+        self._noise_std = (params.noise_std_absolute() if noise_std is None
+                           else noise_std)
+        self.keyset = RnsKeySet(self.ring, self._noise_std)
+
+    # -- keys -----------------------------------------------------------------
+    def generate_secret_key(self, key):
+        return self.keyset.generate_secret_key(key)
+
+    def generate_public_key(self, key, sk):
+        return self.keyset.generate_public_key(key, sk)
+
+    def generate_relin_keys(self, key, sk) -> list:
+        """One RNS keyswitch key per level L in [2, K] (the gadget factors
+        Q_L/q_j depend on the live chain)."""
+        from .keys import SecretKey
+        keys = [None, None]  # levels 0/1 never relinearize a fresh mul
+        for L in range(2, self.K + 1):
+            ks = RnsKeySet(self.rings[L - 1], self._noise_std)
+            sk_l = SecretKey(poly=tuple(sk.poly[:L]), key_id=sk.key_id)
+            keys.append(ks.generate_relin_key(
+                jax.random.fold_in(key, L), sk_l))
+        return keys
+
+    # -- encode / encrypt -------------------------------------------------------
+    def encode(self, values, level: int | None = None):
+        L = level or self.K
+        coeffs = self.encoder.encode(values, self.scale)
+        return self.rings[L - 1].from_int_coeffs(
+            np.array([int(c) % self.rings[L - 1].Q for c in coeffs],
+                     dtype=object))
+
+    def encrypt(self, key, values, pk) -> CkksCiphertext:
+        ring = self.ring
+        m = self.encode(values)
+        k_u, k_e1, k_e2 = jax.random.split(key, 3)
+        u = ring.sample_ternary(k_u)
+        e1 = ring.sample_gaussian(k_e1, self._noise_std)
+        e2 = ring.sample_gaussian(k_e2, self._noise_std)
+        c0 = ring.add(ring.add(ring.multiply(pk.b, u), e1), m)
+        c1 = ring.add(ring.multiply(pk.a, u), e2)
+        return CkksCiphertext(c0=c0, c1=c1, level=self.K,
+                              scale=Fraction(self.scale), key_id=pk.key_id)
+
+    # -- decrypt / decode ---------------------------------------------------------
+    def phase(self, ct: CkksCiphertext, sk):
+        ring = self.rings[ct.level - 1]
+        s = tuple(sk.poly[: ct.level])
+        p = ring.sub(ct.c0, ring.multiply(ct.c1, s))
+        if ct.is_degree_2:
+            s2 = ring.multiply(s, s)
+            p = ring.add(p, ring.multiply(ct.c2, s2))
+        return p
+
+    def decrypt(self, ct: CkksCiphertext, sk, num_slots: int | None = None
+                ) -> np.ndarray:
+        ring = self.rings[ct.level - 1]
+        x = ring.to_int_coeffs(self.phase(ct, sk))
+        # centered lift: coefficients are small signed integers * scale
+        half = ring.Q // 2
+        signed = np.array([int(v) - ring.Q if int(v) > half else int(v)
+                           for v in x.reshape(-1)], dtype=object)
+        return self.encoder.decode(signed, ct.scale, num_slots)
+
+    # -- level alignment -----------------------------------------------------------
+    def mod_down(self, ct: CkksCiphertext, level: int) -> CkksCiphertext:
+        """Drop residues to a lower level WITHOUT rescaling (|m + e| << Q'
+        so the plaintext and scale are unchanged)."""
+        if level > ct.level:
+            raise ValueError("cannot mod_down to a higher level")
+        take = lambda poly: tuple(poly[:level])  # noqa: E731
+        return CkksCiphertext(
+            c0=take(ct.c0), c1=take(ct.c1),
+            c2=take(ct.c2) if ct.is_degree_2 else None,
+            level=level, scale=ct.scale, key_id=ct.key_id)
+
+    def _align(self, a: CkksCiphertext, b: CkksCiphertext):
+        L = min(a.level, b.level)
+        return self.mod_down(a, L), self.mod_down(b, L)
+
+    # -- homomorphic ops -------------------------------------------------------------
+    def add(self, a: CkksCiphertext, b: CkksCiphertext) -> CkksCiphertext:
+        a, b = self._align(a, b)
+        if a.scale != b.scale:
+            raise ValueError(f"scale mismatch: {a.scale} vs {b.scale}")
+        ring = self.rings[a.level - 1]
+        return CkksCiphertext(c0=ring.add(a.c0, b.c0),
+                              c1=ring.add(a.c1, b.c1),
+                              level=a.level, scale=a.scale, key_id=a.key_id)
+
+    def sub(self, a: CkksCiphertext, b: CkksCiphertext) -> CkksCiphertext:
+        a, b = self._align(a, b)
+        if a.scale != b.scale:
+            raise ValueError(f"scale mismatch: {a.scale} vs {b.scale}")
+        ring = self.rings[a.level - 1]
+        return CkksCiphertext(c0=ring.sub(a.c0, b.c0),
+                              c1=ring.sub(a.c1, b.c1),
+                              level=a.level, scale=a.scale, key_id=a.key_id)
+
+    def add_plain(self, a: CkksCiphertext, values) -> CkksCiphertext:
+        ring = self.rings[a.level - 1]
+        if a.scale != Fraction(self.scale):
+            raise ValueError("add_plain requires the fresh encoding scale; "
+                             "rescale or re-encode first")
+        m = self.encode(values, level=a.level)
+        return CkksCiphertext(c0=ring.add(a.c0, m), c1=a.c1, level=a.level,
+                              scale=a.scale, key_id=a.key_id)
+
+    def multiply(self, a: CkksCiphertext, b: CkksCiphertext
+                 ) -> CkksCiphertext:
+        """Tensor product per prime (plain NTT products mod the live chain;
+        scale multiplies — the whole point of CKKS is that NO exact
+        integer rescale is needed here)."""
+        if a.is_degree_2 or b.is_degree_2:
+            raise ValueError("relinearize before multiplying degree-2")
+        a, b = self._align(a, b)
+        ring = self.rings[a.level - 1]
+        fa0, fa1 = ring.to_ntt(a.c0), ring.to_ntt(a.c1)
+        fb0, fb1 = ring.to_ntt(b.c0), ring.to_ntt(b.c1)
+        pw, add = ring.pointwise, ring.add
+        d0 = ring.from_ntt(pw(fa0, fb0))
+        d1 = ring.from_ntt(add(pw(fa0, fb1), pw(fa1, fb0)))
+        d2 = ring.from_ntt(pw(fa1, fb1))
+        return CkksCiphertext(c0=d0, c1=d1, c2=d2, level=a.level,
+                              scale=a.scale * b.scale, key_id=a.key_id)
+
+    def relinearize(self, ct: CkksCiphertext, relin_keys: list
+                    ) -> CkksCiphertext:
+        """RNS keyswitch at the ciphertext's level (core/rns.py gadget)."""
+        if not ct.is_degree_2:
+            return ct
+        rlk: RnsRelinKey = relin_keys[ct.level]
+        ring = self.rings[ct.level - 1]
+        import jax.numpy as jnp
+        c0, c1 = list(ct.c0), list(ct.c1)
+        for j in range(ct.level):
+            qj = ring.moduli[j]
+            inv = pow((ring.Q // qj) % qj, -1, qj)
+            w = ring.rings[j].scalar_mul(ct.c2[j], inv)
+            for i in range(ct.level):
+                ri = ring.rings[i]
+                if i == j:
+                    t_ji = w
+                else:
+                    z = jnp.zeros_like(w[0])
+                    t_ji = ri.ctx.reduce_128((w[0], w[1], z, z))
+                c0[i] = ri.add(c0[i], ri.multiply(t_ji, rlk.b[j][i]))
+                c1[i] = ri.add(c1[i], ri.multiply(t_ji, rlk.a[j][i]))
+        return CkksCiphertext(c0=tuple(c0), c1=tuple(c1), level=ct.level,
+                              scale=ct.scale, key_id=ct.key_id)
+
+    def rescale(self, ct: CkksCiphertext) -> CkksCiphertext:
+        """Exact RNS rescale: divide by the last live prime and drop it.
+
+        c'_i = (c_i - [c]_{q_L}) * q_L^{-1} mod q_i — the standard
+        floor-division identity; the <1 rounding error lands in the noise.
+        New scale = scale / q_L (exact Fraction bookkeeping)."""
+        import jax.numpy as jnp
+        if ct.level < 2:
+            raise ValueError("no modulus left to rescale into")
+        L = ct.level
+        ring = self.rings[L - 1]
+        q_last = ring.moduli[L - 1]
+
+        def drop(poly):
+            last = poly[L - 1]            # residues mod q_last (< 2^62)
+            out = []
+            for i in range(L - 1):
+                ri = ring.rings[i]
+                z = jnp.zeros_like(last[0])
+                c_last = ri.ctx.reduce_128((last[0], last[1], z, z))
+                diff = ri.ctx.sub(poly[i], c_last)
+                from ..ops.u64 import u64_from_int
+                out.append(ri.ctx.mul(
+                    diff, u64_from_int(pow(q_last % ri.q, -1, ri.q))))
+            return tuple(out)
+
+        return CkksCiphertext(
+            c0=drop(ct.c0), c1=drop(ct.c1),
+            c2=drop(ct.c2) if ct.is_degree_2 else None,
+            level=L - 1, scale=ct.scale / q_last, key_id=ct.key_id)
+
+    def multiply_relin_rescale(self, a, b, relin_keys: list
+                               ) -> CkksCiphertext:
+        return self.rescale(self.relinearize(self.multiply(a, b),
+                                             relin_keys))

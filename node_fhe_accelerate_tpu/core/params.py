@@ -112,7 +112,10 @@ class ParameterSet:
 
     def calculate_derived_parameters(self) -> None:
         log_q = self.get_log_modulus()
-        log_t = math.log2(float(self.plaintext_modulus))
+        # CKKS has no plaintext modulus (t=0): budget is scale-denominated
+        # (one ~scale-sized modulus per multiplication level).
+        log_t = math.log2(float(self.plaintext_modulus)) \
+            if self.plaintext_modulus > 0 else 40.0
         if self.scheme == FHEScheme.TFHE:
             noise_term = math.log2(
                 self.lwe_noise_std * math.sqrt(float(max(self.lwe_dimension, 1)))

@@ -185,9 +185,12 @@ def test_encryption_engine_over_dist_ring():
     km = KeyManager(params, ring)
     sk = km.generate_secret_key(jax.random.PRNGKey(0))
     pk = km.generate_public_key(jax.random.PRNGKey(1), sk)
+    # 3 ballots: keeps the eager-op count low (XLA:CPU's compile pipeline
+    # intermittently aborts under heavy concurrent mini-compiles; see
+    # conftest.py notes)
     ballots = [eng.encrypt(jax.random.PRNGKey(10 + i), [1, i], pk)
-               for i in range(5)]
+               for i in range(3)]
     tally = eng.tally_votes(ballots)
     vals, budget = eng.decrypt(tally, sk, 2)
-    assert vals.tolist() == [5, sum(range(5))]
+    assert vals.tolist() == [3, sum(range(3))]
     assert budget > 5
