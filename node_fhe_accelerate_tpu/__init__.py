@@ -16,6 +16,9 @@ from .core.keys import (
     KeyManager, SecretKey, PublicKey, RelinKey, SecretKeyDistribution,
 )
 from .core.encrypt import EncryptionEngine, Ciphertext, Plaintext
+from .core.rns import RnsEncryptionEngine, RnsPolyRing
+from .core.ckks import CkksEngine, CkksEncoder, CkksCiphertext
+from .core.keycache import BootstrapKeyCache
 from .core.bootstrap import (
     TfheParams, TfheEngine, LweCiphertext, GlweCiphertext, BootstrapKey,
     TFHE_BOOT_128,
