@@ -138,8 +138,13 @@ class TfheEngine:
           native wraparound).  See ops/i8.py.
         * "ntt": the single-prime Montgomery-NTT external product over
           P_EXT (round-1 path) — VPU-bound, kept as the bit-exact oracle.
+        * "pallas": the fused per-step CMux kernel
+          (ops/pallas_cmux.py) — rotate + decompose + Toeplitz matmul +
+          recombine in one VMEM-resident pallas_call, same exact algebra
+          as "mxu".  Opt-in until profiled on hardware; requires N >= 128
+          and N % 128 == 0.
         """
-        if ext_backend not in ("mxu", "ntt"):
+        if ext_backend not in ("mxu", "ntt", "pallas"):
             raise ValueError(f"unknown ext_backend {ext_backend!r}")
         self.p = params
         self.backend = ext_backend
@@ -147,7 +152,9 @@ class TfheEngine:
         self.t = params.plaintext_modulus
         self.delta = (1 << 32) // self.t
         k, lvl = params.glwe_dim, params.pbs_level
-        if ext_backend == "mxu":
+        if ext_backend == "pallas" and params.poly_degree % 128:
+            raise ValueError("pallas backend needs poly_degree % 128 == 0")
+        if ext_backend in ("mxu", "pallas"):
             # int32 accumulation bound: terms * (base/2) * 128 < 2^31
             terms = (k + 1) * lvl * params.poly_degree
             if terms * (1 << (params.pbs_base_log - 1)) * 128 >= (1 << 31):
@@ -425,7 +432,18 @@ class TfheEngine:
         a_rots = self._rotations(lwe.a)           # (..., n)
         a_rots = jnp.moveaxis(a_rots, -1, 0)      # (n, ...)
 
-        if self.backend == "mxu":
+        if self.backend == "pallas":
+            from ..ops.pallas_cmux import cmux_step_pallas
+            interp = jax.default_backend() != "tpu"
+            base_log = self.p.pbs_base_log
+
+            def step(acc, inp):
+                g_i8, rot = inp
+                ghat2 = jnp.concatenate([g_i8, g_i8], axis=-1)
+                return cmux_step_pallas(acc, rot, ghat2, base_log,
+                                        interpret=interp), None
+            xs = (bsk.ggsw_i8, a_rots)
+        elif self.backend == "mxu":
             def step(acc, inp):
                 g_i8, rot = inp
                 rotated = ring.rotate(acc, rot[..., None])
