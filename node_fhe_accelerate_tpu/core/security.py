@@ -137,7 +137,10 @@ class SecurityValidator:
         # (key_manager.cpp:85-110) — broken regardless of dimensions.
         eff = params.lwe_noise_std
         if eff < 0.5:
-            eff = eff * float(params.q_total)
+            # per-prime convention, matching ParameterSet.noise_std_absolute
+            # (scaling by the composite Q would overestimate RNS noise and
+            # mask degenerate configurations)
+            eff = eff * float(params.moduli[0])
         if eff < 3.2:
             res.add(SecurityViolation.NOISE_TOO_SMALL,
                     f"effective noise std {eff:.3g} (absolute units) < 3.2; "
