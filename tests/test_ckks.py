@@ -128,3 +128,18 @@ class TestCkksEngine:
         m = eng.multiply_relin_rescale(a, b, rlks)
         with pytest.raises(ValueError, match="rescale"):
             eng.rescale(eng.rescale(m))  # level 1 left: nothing to drop
+
+
+class TestCkksContext:
+    def test_context_round_trip_and_dot(self):
+        from node_fhe_accelerate_tpu.api.ckks_context import CkksContext
+        ctx = CkksContext(ckks_params(), scale=SCALE)
+        a = ctx.encrypt([1.0, 2.0])
+        b = ctx.encrypt([0.5, -1.0])
+        np.testing.assert_allclose(ctx.decrypt(ctx.add(a, b), 2),
+                                   [1.5, 1.0], atol=1e-4)
+        m = ctx.multiply(a, b)
+        np.testing.assert_allclose(ctx.decrypt(m, 2), [0.5, -2.0], atol=1e-3)
+        # encrypted weighted sum (the ML-inference primitive)
+        d = ctx.dot([a, b], [2.0, 4.0])
+        np.testing.assert_allclose(ctx.decrypt(d, 2), [4.0, 0.0], atol=1e-3)
