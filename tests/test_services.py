@@ -241,3 +241,46 @@ def test_progress_callbacks_on_long_ops():
     total = eng.batch_add(cts, progress=lambda i, t, s: seen.append((i, t, s)))
     assert seen == [(i, 4, "tallying") for i in range(2, 5)]
     assert eng.decrypt_value(total, sk) == 4
+
+
+class TestZKProofManager:
+    """Unified ZK facade (api/zk.py; reference zk-proofs.ts:461-567 —
+    whose provers are simulations; ours drive the real systems)."""
+
+    @pytest.fixture(scope="class")
+    def mgr(self):
+        from node_fhe_accelerate_tpu.api.zk import ZKProofManager
+        return ZKProofManager(range_bits=8, tree_depth=3)
+
+    def test_ballot_validity_round_trip(self, mgr):
+        p = mgr.prove_ballot_validity(2, num_candidates=4)
+        res = mgr.verify_ballot_validity(p)
+        assert res.valid and res.error is None
+        assert res.verification_time_ms > 0
+        # tampered commitment fails cleanly (no crash)
+        q = mgr.prove_ballot_validity(1, num_candidates=4)
+        p.commitment = q.commitment
+        assert not mgr.verify_ballot_validity(p).valid
+
+    def test_eligibility_round_trip(self, mgr):
+        root = mgr.init_eligibility([101, 202, 303])
+        sec = mgr.get_voter_secret(202)
+        proof = mgr.prove_eligibility(202, sec)
+        assert proof.public_inputs[0] == root
+        assert mgr.verify_eligibility(proof).valid
+        # wrong-secret witness fails at proof or verify time
+        import pytest as _pt
+        with _pt.raises(Exception):
+            bad = mgr.prove_eligibility(202, sec + 1)
+            assert not mgr.verify_eligibility(bad).valid
+
+    def test_tally_correctness_round_trip(self, mgr):
+        proof = mgr.prove_tally_correctness([1, 2, 3, 4], total=10)
+        assert mgr.verify_tally_correctness(proof).valid
+        proof.total = 11
+        assert not mgr.verify_tally_correctness(proof).valid
+
+    def test_camel_aliases_and_metadata(self, mgr):
+        assert mgr.getProofSystem("tally")["system"] == "plonk"
+        p = mgr.proveBallotValidity(0, 2)
+        assert mgr.verifyBallotValidity(p).valid
