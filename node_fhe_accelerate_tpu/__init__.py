@@ -33,6 +33,8 @@ from .api.voting import VotingSystem, ElectionState
 from .api.tally import TallyStreamManager, TallyMessageAdapter
 from .api.audit import AuditTrailManager, AuditOperation, AuditActor
 from .api.fraud import FraudDetector
+from .api.zk import ZKProofManager, ZKVerificationResult
+from .api.ckks_context import CkksContext
 
 __version__ = "0.1.0"
 
