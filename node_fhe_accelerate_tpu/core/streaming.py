@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import zlib
 from dataclasses import dataclass, field
 from typing import Callable, Iterable, Optional
 
@@ -275,3 +276,74 @@ class StreamingEquivalenceVerifier:
 
         return (eq(direct.c0, chunked.c0) and eq(direct.c1, chunked.c1)
                 and eq(direct.c2, chunked.c2))
+
+
+class ResumableUpload:
+    """Resumable chunked transfer of a serialized blob (ballots, keys).
+
+    The reference requires resumable ballot uploads (requirements.md:304,
+    requirement 16.2) but ships no implementation; this is the in-code
+    resilience piece of SURVEY.md §5.3.  Protocol: the payload splits into
+    fixed-size chunks, each sent with (upload_id, index, offset, CRC32);
+    the receiver acknowledges contiguous progress, so after ANY
+    interruption the sender queries `receiver.offset(upload_id)` and
+    resumes from the first unacknowledged byte.  Chunk CRCs reject
+    corruption at the chunk level (retransmit one chunk, not the blob);
+    the assembled payload re-verifies end-to-end through the serializer's
+    header checksum when it is a serializer blob.
+    """
+
+    def __init__(self, chunk_size: int = 1 << 16):
+        if chunk_size <= 0:
+            raise ValueError("chunk_size must be positive")
+        self.chunk_size = chunk_size
+
+    # -- sender side ----------------------------------------------------------
+    def chunks(self, upload_id: str, payload: bytes, start_offset: int = 0):
+        """Yield (upload_id, index, offset, crc32, data) from an offset."""
+        idx0 = start_offset // self.chunk_size
+        if start_offset % self.chunk_size:
+            raise ValueError("resume offset must be chunk-aligned")
+        for i in range(idx0, -(-len(payload) // self.chunk_size)):
+            off = i * self.chunk_size
+            data = payload[off: off + self.chunk_size]
+            yield (upload_id, i, off, zlib.crc32(data), data)
+
+
+class ResumableUploadReceiver:
+    """Receiver half: per-upload contiguous-progress tracking + assembly."""
+
+    def __init__(self, chunk_size: int = 1 << 16):
+        self.chunk_size = chunk_size
+        self._parts: dict = {}       # upload_id -> {index: bytes}
+        self._done: dict = {}
+
+    def offset(self, upload_id: str) -> int:
+        """First byte the sender still needs to send (resume point)."""
+        parts = self._parts.get(upload_id, {})
+        i = 0
+        while i in parts:
+            i += 1
+        return i * self.chunk_size
+
+    def receive(self, chunk) -> bool:
+        """Accept one chunk; False (not an exception) on CRC mismatch so
+        the sender retransmits just that chunk."""
+        upload_id, idx, off, crc, data = chunk
+        if zlib.crc32(data) != crc:
+            return False
+        if off != idx * self.chunk_size:
+            return False
+        self._parts.setdefault(upload_id, {})[idx] = data
+        return True
+
+    def complete(self, upload_id: str, total_size: int) -> bytes:
+        parts = self._parts.get(upload_id, {})
+        n = -(-total_size // self.chunk_size)
+        missing = [i for i in range(n) if i not in parts]
+        if missing:
+            raise ValueError(f"upload incomplete: missing chunks {missing}")
+        blob = b"".join(parts[i] for i in range(n))
+        if len(blob) != total_size:
+            raise ValueError("assembled size mismatch")
+        return blob

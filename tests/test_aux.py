@@ -270,3 +270,54 @@ class TestPublicVerifier:
         pkg.audit_json = json.dumps(tampered)
         res = PublicVerifier().verify_all(pkg)
         assert not res.valid and not res.audit_valid
+
+
+class TestResumableUpload:
+    """Resumable ballot uploads (SURVEY §5.3; requirements.md:304 req 16.2)."""
+
+    def test_interrupt_resume_round_trip(self, eng_keys):
+        from node_fhe_accelerate_tpu.core.streaming import (
+            ResumableUpload, ResumableUploadReceiver)
+        import os as _os
+        payload = _os.urandom(300_000)
+        up = ResumableUpload(chunk_size=1 << 16)
+        rx = ResumableUploadReceiver(chunk_size=1 << 16)
+        # send 2 chunks, then "crash"
+        for i, ch in enumerate(up.chunks("b1", payload)):
+            if i == 2:
+                break
+            assert rx.receive(ch)
+        assert rx.offset("b1") == 2 * (1 << 16)
+        # resume from the receiver's offset
+        for ch in up.chunks("b1", payload, start_offset=rx.offset("b1")):
+            assert rx.receive(ch)
+        assert rx.complete("b1", len(payload)) == payload
+
+    def test_corrupt_chunk_retransmitted(self):
+        from node_fhe_accelerate_tpu.core.streaming import (
+            ResumableUpload, ResumableUploadReceiver)
+        payload = bytes(range(256)) * 1000
+        up = ResumableUpload(chunk_size=1 << 12)
+        rx = ResumableUploadReceiver(chunk_size=1 << 12)
+        chunks = list(up.chunks("b2", payload))
+        uid, idx, off, crc, data = chunks[1]
+        bad = (uid, idx, off, crc, bytes([data[0] ^ 0xFF]) + data[1:])
+        assert rx.receive(chunks[0])
+        assert not rx.receive(bad)           # CRC rejects, no exception
+        assert rx.offset("b2") == 1 << 12     # progress unchanged
+        for ch in chunks[1:]:
+            assert rx.receive(ch)
+        assert rx.complete("b2", len(payload)) == payload
+
+    def test_incomplete_upload_rejected(self):
+        from node_fhe_accelerate_tpu.core.streaming import (
+            ResumableUpload, ResumableUploadReceiver)
+        import pytest as _pt
+        payload = b"x" * 50_000
+        up = ResumableUpload(chunk_size=1 << 14)
+        rx = ResumableUploadReceiver(chunk_size=1 << 14)
+        chunks = list(up.chunks("b3", payload))
+        rx.receive(chunks[0])
+        rx.receive(chunks[2])                 # gap at 1
+        with _pt.raises(ValueError, match="missing"):
+            rx.complete("b3", len(payload))
