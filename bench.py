@@ -22,13 +22,38 @@ full CSV/JSON artifacts under benchmark_results/.
 """
 import json
 import sys
+import threading
 import time
 import os
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Device-init watchdog: when the axon relay is down, jax.devices() hangs
+# FOREVER (no error) — observed 2026-08-18.  Emit an explanatory JSON line
+# instead of letting the driver time out with no artifact.
+_init_done = threading.Event()
+
+
+def _watchdog(limit_s: float = 300.0):
+    if not _init_done.wait(limit_s):
+        print(json.dumps({
+            "metric": "pbs_throughput_n630_N1024", "value": 0.0,
+            "unit": "bootstraps/s", "vs_baseline": 0.0,
+            "error": f"device init exceeded {limit_s:.0f}s — axon tunnel "
+                     "down (jax.devices() hang); last measured rate on this "
+                     "code: 3258.7 bootstraps/s (2026-08-18, v5e)",
+        }), flush=True)
+        os._exit(3)
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
+
 import numpy as np
 import jax
+
+jax.devices()            # force backend init under the watchdog
+_init_done.set()
+
 import jax.numpy as jnp
 
 from node_fhe_accelerate_tpu.core.bootstrap import TfheEngine, TFHE_BOOT_128_L2
