@@ -54,14 +54,28 @@ class KZGSetup:
 
 
 class KZGScheme:
-    """KZG over BN254 G1 (zk_polynomial_commitment.h KZGScheme256)."""
+    """KZG over a pairing curve (zk_polynomial_commitment.h KZGScheme256).
 
-    def __init__(self, curve: Curve | None = None):
+    Curve-parametric: BN254 (default) or BLS12-381 — the pairing module is
+    selected by the curve's subgroup order (zk/pairing.py / pairing_bls.py
+    expose the same surface)."""
+
+    def __init__(self, curve: Curve | None = None, pairing_mod=None):
         self.curve = curve or bn254_g1()
         self.r = self.curve.order
+        if pairing_mod is None:
+            from . import pairing as _bn
+            if self.r == _bn.R:
+                pairing_mod = _bn
+            else:
+                from . import pairing_bls as _bls
+                if self.r != _bls.R:
+                    raise ValueError("no pairing module for this curve")
+                pairing_mod = _bls
+        self.pm = pairing_mod
 
     def setup(self, max_degree: int, seed: int = 0) -> KZGSetup:
-        from .pairing import G2_GENERATOR, g2_mul
+        G2_GENERATOR, g2_mul = self.pm.G2_GENERATOR, self.pm.g2_mul
 
         rng = np.random.default_rng(seed)
         tau = int.from_bytes(rng.bytes(40), "little") % self.r
@@ -113,9 +127,11 @@ class KZGScheme:
 
         The reference never implements this (its pairing is structural,
         groth16.cpp:1113-1139); here it is the genuine optimal-ate check
-        (zk/pairing.py)."""
-        from .pairing import pairing_check, g2_add, g2_mul, g2_neg, \
-            G2_GENERATOR
+        (zk/pairing.py or pairing_bls.py per the curve)."""
+        pm = self.pm
+        pairing_check, g2_add, g2_mul, g2_neg, G2_GENERATOR = (
+            pm.pairing_check, pm.g2_add, pm.g2_mul, pm.g2_neg,
+            pm.G2_GENERATOR)
 
         c = self.curve
         r = self.r

@@ -95,3 +95,23 @@ class TestPairing:
             (g1_mul(G1, 5), pb.G2_GENERATOR),
             (G1, pb.g2_neg(pb.g2_mul(pb.G2_GENERATOR, 4))),
         ])
+
+
+class TestKzgOverBls:
+    """KZG commit/open/verify on BLS12-381 through the parameterized
+    scheme — the pairing module selected by curve order."""
+
+    def test_commit_open_verify(self):
+        from node_fhe_accelerate_tpu.zk.commitments import KZGScheme
+        from node_fhe_accelerate_tpu.zk.curve import bls12_381_g1
+
+        kzg = KZGScheme(bls12_381_g1())
+        assert kzg.pm is pb
+        setup = kzg.setup(max_degree=7, seed=1)
+        coeffs = [5, 0, 3, 11]              # 5 + 3x^2 + 11x^3
+        C = kzg.commit(coeffs, setup)
+        z = 9
+        value, proof = kzg.open(coeffs, z, setup)
+        assert value == (5 + 3 * z ** 2 + 11 * z ** 3) % kzg.r
+        assert kzg.verify(C, z, value, proof, setup)
+        assert not kzg.verify(C, z, value + 1, proof, setup)
