@@ -434,7 +434,9 @@ class TfheEngine:
 
         if self.backend == "pallas":
             from ..ops.pallas_cmux import cmux_step_pallas
-            interp = jax.default_backend() != "tpu"
+            # interpret only on the CPU test backend: the axon plugin
+            # reports platform "axon" but is a TPU PJRT underneath
+            interp = jax.default_backend() == "cpu"
             base_log = self.p.pbs_base_log
 
             def step(acc, inp):
