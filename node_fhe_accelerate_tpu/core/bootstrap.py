@@ -111,11 +111,12 @@ class BootstrapKey:
     params: TfheParams
     ggsw_ext: Any = None
     ggsw_i8: Any = None
+    ggsw_crt: Any = None   # dual-prime NTT planes (crt backend)
 
 
 for _cls, _fields in ((LweCiphertext, ("a", "b")),
                       (GlweCiphertext, ("data",)),
-                      (BootstrapKey, ("ggsw_ext", "ggsw_i8", "ksk_a", "ksk_b"))):
+                      (BootstrapKey, ("ggsw_ext", "ggsw_i8", "ggsw_crt", "ksk_a", "ksk_b"))):
     jax.tree_util.register_pytree_node(
         _cls,
         (lambda fields: lambda x: (
@@ -143,8 +144,12 @@ class TfheEngine:
           recombine in one VMEM-resident pallas_call, same exact algebra
           as "mxu".  Opt-in until profiled on hardware; requires N >= 128
           and N % 128 == 0.
+        * "crt": dual-prime (P1*P2 ~ 2^77) exact external product — twice
+          the transforms of "ntt" but holds EVERY preset gadget, including
+          TFHE_256's base 2^10 at N=4096 that overflows both the int8 MXU
+          accumulation bound and the single 54-bit prime.
         """
-        if ext_backend not in ("mxu", "ntt", "pallas"):
+        if ext_backend not in ("mxu", "ntt", "pallas", "crt"):
             raise ValueError(f"unknown ext_backend {ext_backend!r}")
         self.p = params
         self.backend = ext_backend
@@ -161,13 +166,20 @@ class TfheEngine:
                 raise ValueError(
                     "pbs_base_log/level/N too large for exact int32 "
                     "accumulation on the int8 MXU path")
+        elif ext_backend == "crt":
+            from .torus import P1, P2
+            terms = (k + 1) * lvl
+            bound = terms * params.poly_degree * \
+                (1 << (params.pbs_base_log - 1)) * (1 << 31)
+            if 2 * bound >= P1 * P2:
+                raise ValueError("gadget exceeds even the dual-prime bound")
         else:
             terms = (k + 1) * lvl
             if not self.ring.ext_bound_ok(params.pbs_base_log, terms):
                 raise ValueError(
                     "pbs_base_log/level too large for the single-prime "
-                    "external product (P_EXT); reduce base_log or extend "
-                    "TorusRing to CRT")
+                    "external product (P_EXT); use ext_backend=\"crt\" "
+                    "(dual-prime) or reduce base_log")
         # jitted entry points (eager op-by-op dispatch on the remote-compile
         # TPU path is pathologically slow; everything heavy goes through jit)
         self.bootstrap_jit = jax.jit(self.bootstrap_with_test_poly)
@@ -303,10 +315,13 @@ class TfheEngine:
         # rows: list of (n, k+1, N) -> (n, k+1, lvl, k+1, N)
         ggsw = jnp.stack(rows, axis=1).reshape(n, k + 1, lvl, k + 1, N)
 
-        ggsw_ext = ggsw_i8 = None
+        ggsw_ext = ggsw_i8 = ggsw_crt = None
         if self.backend == "ntt":
             # NTT-resident Montgomery form over the external-product prime
             ggsw_ext = self.ring.forward_ext_mont(ggsw)
+        elif self.backend == "crt":
+            # NTT-resident in BOTH CRT primes (standard domain)
+            ggsw_crt = self.ring.forward(ggsw)
         else:
             # MXU form: digit planes of g~ = [g, -g], contraction-ordered
             # (level, j) to match the decomposition digits' layout, with
@@ -332,7 +347,8 @@ class TfheEngine:
                             preferred_element_type=jnp.int32).astype(jnp.uint32)
                  + e + s_in[:, None] * g_vec[None, :])
         return BootstrapKey(ggsw_ext=ggsw_ext, ggsw_i8=ggsw_i8,
-                            ksk_a=ksk_a, ksk_b=ksk_b, params=p)
+                            ggsw_crt=ggsw_crt, ksk_a=ksk_a, ksk_b=ksk_b,
+                            params=p)
 
     # ------------------------------------------------------------------
     # External product / CMux
@@ -363,6 +379,36 @@ class TfheEngine:
                     pairs.append((dj, g))
             acc = ring.pointwise_acc_ext(pairs)
             out.append(ring.inverse_ext_to_torus(acc))
+        return jnp.stack(out, axis=-2)
+
+    def external_product_crt(self, ggsw_row_crt, glwe_data):
+        """GGSW (x) GLWE over BOTH CRT primes (exact for every preset
+        gadget: |sum| <= terms*N*(B/2)*2^31 < P1*P2/2 ~ 2^76).
+
+        ggsw_row_crt: ((lo1, hi1), (lo2, hi2)) NTT planes, each
+        (k+1, lvl, k+1, N), for ONE LWE bit."""
+        p = self.p
+        k, lvl = p.glwe_dim, p.pbs_level
+        ring = self.ring
+        digits = ring.decompose(glwe_data, p.pbs_base_log, lvl)
+        d_hat = ring.forward_digits(digits)   # per prime (lvl,...,k+1,N)
+
+        out = []
+        for jp in range(k + 1):
+            pairs = []
+            for j in range(k + 1):
+                for l in range(lvl):
+                    dj = ((d_hat[0][0][l, ..., j, :],
+                           d_hat[0][1][l, ..., j, :]),
+                          (d_hat[1][0][l, ..., j, :],
+                           d_hat[1][1][l, ..., j, :]))
+                    g = ((ggsw_row_crt[0][0][j, l, jp],
+                          ggsw_row_crt[0][1][j, l, jp]),
+                         (ggsw_row_crt[1][0][j, l, jp],
+                          ggsw_row_crt[1][1][j, l, jp]))
+                    pairs.append((dj, g))
+            acc = ring.pointwise_acc(pairs)
+            out.append(ring.inverse(acc))
         return jnp.stack(out, axis=-2)
 
     def external_product_mxu(self, ggsw_i8_row, glwe_data):
@@ -410,6 +456,8 @@ class TfheEngine:
         diff = ct1_data - ct0_data
         if self.backend == "mxu":
             return ct0_data + self.external_product_mxu(ggsw_row, diff)
+        if self.backend == "crt":
+            return ct0_data + self.external_product_crt(ggsw_row, diff)
         return ct0_data + self.external_product(ggsw_row, diff)
 
     # ------------------------------------------------------------------
@@ -451,6 +499,14 @@ class TfheEngine:
                 rotated = ring.rotate(acc, rot[..., None])
                 return self.cmux(g_i8, acc, rotated), None
             xs = (bsk.ggsw_i8, a_rots)
+        elif self.backend == "crt":
+            def step(acc, inp):
+                g1lo, g1hi, g2lo, g2hi, rot = inp
+                rotated = ring.rotate(acc, rot[..., None])
+                g = ((g1lo, g1hi), (g2lo, g2hi))
+                return self.cmux(g, acc, rotated), None
+            (g1lo, g1hi), (g2lo, g2hi) = bsk.ggsw_crt
+            xs = (g1lo, g1hi, g2lo, g2hi, a_rots)
         else:
             def step(acc, inp):
                 g_lo, g_hi, rot = inp

@@ -258,3 +258,44 @@ def test_bootstrap_tfhe256_geometry():
     out = eng.bootstrap_jit(ct, bsk, eng.default_test_poly())
     dec = np.asarray(eng.lwe_decrypt(out, lwe_sk))
     np.testing.assert_array_equal(dec, np.asarray(msgs))
+
+
+def test_crt_backend_bit_exact_and_tfhe256_gadget():
+    """The dual-prime CRT external product agrees with the single-prime
+    backend bit-for-bit where both are valid, and handles the TFHE_256
+    preset's real gadget (base 2^10, l=3) that the other backends reject."""
+    # bit-exactness at a shape valid for both backends
+    p = tiny_params()
+    key = jax.random.PRNGKey(31)
+    eng_n = TfheEngine(p, ext_backend="ntt")
+    eng_c = TfheEngine(p, ext_backend="crt")
+    lwe_sk = eng_n.lwe_keygen(jax.random.fold_in(key, 0))
+    glwe_sk = eng_n.glwe_keygen(jax.random.fold_in(key, 1))
+    bsk_n = eng_n.generate_bootstrap_key(jax.random.fold_in(key, 2),
+                                         lwe_sk, glwe_sk)
+    bsk_c = eng_c.generate_bootstrap_key(jax.random.fold_in(key, 2),
+                                         lwe_sk, glwe_sk)
+    msgs = jnp.asarray(np.arange(4) % 4, jnp.uint32)
+    ct = eng_n.lwe_encrypt(jax.random.fold_in(key, 3), msgs, lwe_sk)
+    tp = eng_n.default_test_poly()
+    ref = eng_n.bootstrap_jit(ct, bsk_n, tp)
+    got = eng_c.bootstrap_jit(ct, bsk_c, tp)
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(ref.a))
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(ref.b))
+
+    # the TFHE_256 gadget: rejected by mxu/ntt bounds, exact under crt
+    p256 = tiny_params(n_lwe=8, poly_degree=4096, pbs_base_log=10,
+                       pbs_level=3, ks_base_log=4, ks_level=8,
+                       plaintext_modulus=16)
+    with pytest.raises(ValueError, match="crt"):
+        TfheEngine(p256, ext_backend="ntt")
+    eng = TfheEngine(p256, ext_backend="crt")
+    k2 = jax.random.PRNGKey(32)
+    lsk = eng.lwe_keygen(jax.random.fold_in(k2, 0))
+    gsk = eng.glwe_keygen(jax.random.fold_in(k2, 1))
+    bsk = eng.generate_bootstrap_key(jax.random.fold_in(k2, 2), lsk, gsk)
+    m2 = jnp.asarray(np.arange(4) % 16, jnp.uint32)
+    ct2 = eng.lwe_encrypt(jax.random.fold_in(k2, 3), m2, lsk)
+    out = eng.bootstrap_jit(ct2, bsk, eng.default_test_poly())
+    np.testing.assert_array_equal(np.asarray(eng.lwe_decrypt(out, lsk)),
+                                  np.asarray(m2))
