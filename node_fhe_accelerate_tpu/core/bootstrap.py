@@ -31,7 +31,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 from functools import partial
-from typing import Any, Callable
+from typing import Any, Callable, Sequence
 
 import numpy as np
 import jax
@@ -183,7 +183,10 @@ class TfheEngine:
         # jitted entry points (eager op-by-op dispatch on the remote-compile
         # TPU path is pathologically slow; everything heavy goes through jit)
         self.bootstrap_jit = jax.jit(self.bootstrap_with_test_poly)
-        self.blind_rotate_jit = jax.jit(self.blind_rotate)
+        self.blind_rotate_jit = jax.jit(self.blind_rotate,
+                                        static_argnames=("lut_count",))
+        self._bootstrap_many_jit = jax.jit(self._bootstrap_many_impl,
+                                           static_argnames=("lut_count",))
         self.generate_bootstrap_key = jax.jit(self._generate_bsk_impl)
         self.lwe_encrypt = jax.jit(self._lwe_encrypt_impl,
                                    static_argnames=("noise_std",))
@@ -463,21 +466,30 @@ class TfheEngine:
     # ------------------------------------------------------------------
     # Blind rotate / sample extract / key switch
     # ------------------------------------------------------------------
-    def _rotations(self, x):
-        """round(x * 2N / 2^32): top log2(2N) bits with rounding — exact."""
-        bits = self.ring.logn + 1
-        r = jnp.uint32(1 << (32 - bits - 1))
-        return ((x + r) >> (32 - bits)).astype(jnp.int32)
+    def _rotations(self, x, coarse: int = 1):
+        """round(x * 2N / 2^32): top log2(2N) bits with rounding — exact.
 
-    def blind_rotate(self, acc_data, lwe: LweCiphertext, bsk: BootstrapKey):
+        With ``coarse`` = K (power of two), round to a MULTIPLE of K instead:
+        round(x * (2N/K) / 2^32) * K — the rotation coarsening behind
+        many-LUT bootstrapping (one blind rotate evaluating K functions;
+        PBSmanyLUT, Chillotti-Ligier-Orfila-Tap 2021).  Costs log2(K) bits
+        of rounding tolerance."""
+        bits = self.ring.logn + 1 - (coarse.bit_length() - 1)
+        r = jnp.uint32(1 << (32 - bits - 1))
+        return ((x + r) >> (32 - bits)).astype(jnp.int32) * coarse
+
+    def blind_rotate(self, acc_data, lwe: LweCiphertext, bsk: BootstrapKey,
+                     lut_count: int = 1):
         """acc <- X^{-b~} acc; then CMux ladder over the LWE mask
         (blind_rotate, bootstrap_engine.cpp:547-577), as a lax.scan over the
-        bootstrap key's leading axis."""
+        bootstrap key's leading axis.  ``lut_count`` > 1 coarsens every
+        rotation to a multiple of lut_count (see _rotations) for many-LUT
+        extraction."""
         ring = self.ring
-        b_rot = -self._rotations(lwe.b)
+        b_rot = -self._rotations(lwe.b, lut_count)
         acc = ring.rotate(acc_data, b_rot[..., None])
 
-        a_rots = self._rotations(lwe.a)           # (..., n)
+        a_rots = self._rotations(lwe.a, lut_count)  # (..., n)
         a_rots = jnp.moveaxis(a_rots, -1, 0)      # (n, ...)
 
         if self.backend == "pallas":
@@ -529,6 +541,28 @@ class TfheEngine:
                          jnp.uint32(0xFFFFFFFF))  # -1 mod 2^32
         a = (vals * sign).reshape(acc_data.shape[:-2] + (k * N,))
         b = acc_data[..., k, 0]
+        return LweCiphertext(a=a, b=b)
+
+    def sample_extract_at(self, acc_data, positions) -> LweCiphertext:
+        """Sample-extract the coefficients at ``positions`` (static (K,) array)
+        as an LWE batch with a LEADING positions axis.
+
+        Generalizes sample_extract (p=0) to any index p: the LWE mask for
+        coefficient p of a negacyclic product mask_i * s_i is
+        a[i*N + j] = mask_i[(p - j) mod N] * (+1 if j <= p else -1)."""
+        p = self.p
+        k, N = p.glwe_dim, p.poly_degree
+        pos = jnp.asarray(positions, jnp.int32)            # (K,)
+        mask = acc_data[..., :k, :]                        # (..., k, N)
+        j = jnp.arange(N)
+        idx = (pos[:, None] - j[None, :]) % N              # (K, N)
+        sign = jnp.where(j[None, :] <= pos[:, None],
+                         jnp.uint32(1), jnp.uint32(0xFFFFFFFF))
+        vals = jnp.take(mask, idx, axis=-1)                # (..., k, K, N)
+        a = jnp.moveaxis(vals * sign, -2, 0)               # (K, ..., k, N)
+        a = a.reshape((pos.shape[0],) + acc_data.shape[:-2] + (k * N,))
+        body = acc_data[..., k, :]                         # (..., N)
+        b = jnp.moveaxis(jnp.take(body, pos, axis=-1), -1, 0)
         return LweCiphertext(a=a, b=b)
 
     def key_switch(self, lwe: LweCiphertext, bsk: BootstrapKey) -> LweCiphertext:
@@ -584,6 +618,66 @@ class TfheEngine:
         coeffs[N - half_win:] = (-f0 * delta_out) % (1 << 32)
         return jnp.asarray(coeffs, dtype=jnp.uint32)
 
+    def make_many_lut(self, funcs: Sequence[Callable[[int], int]],
+                      out_modulus: int | None = None):
+        """Interleaved test polynomial for many-LUT bootstrapping:
+        T[K*u + j] = f_j(round(u * t * K / 2N)), so ONE blind rotate with
+        rotations coarsened to multiples of K (see _rotations) evaluates all
+        K functions — extraction at coefficient j yields f_j(m).
+
+        The reference evaluates one LUT per PBS (create_lookup_table,
+        bootstrap_engine.cpp:717-757) and its speculative executor pays a
+        full PBS per LUT (speculative_executor.cpp:151-192); here K LUTs
+        share the CMux ladder outright.  Same negacyclic-redundancy domain
+        as make_lut (messages in [0, t/2)); K must be a power of two with
+        t*K <= N (rounding tolerance shrinks by log2 K bits)."""
+        K = len(funcs)
+        if K & (K - 1):
+            raise ValueError("lut count must be a power of two")
+        N, t = self.p.poly_degree, self.t
+        t_out = out_modulus or t
+        delta_out = (1 << 32) // t_out
+        if t * K > N:
+            raise ValueError("t * lut_count must be <= N")
+        U = N // K
+        u = np.arange(U)
+        inputs = ((u * t * K + N) // (2 * N)) % t
+        coeffs = np.zeros(N, dtype=np.uint64)
+        half_win_u = N // (t * K)
+        tail = np.arange(U - half_win_u, U)
+        for j, f in enumerate(funcs):
+            outs = np.array([int(f(int(v))) % t_out for v in inputs],
+                            dtype=np.uint64)
+            coeffs[K * u + j] = (outs * delta_out) % (1 << 32)
+            # message 0's negative-noise edge wraps negacyclically (see
+            # make_lut): the tail u-window must hold -f_j(0)
+            f0 = int(f(0)) % t_out
+            coeffs[K * tail + j] = (-f0 * delta_out) % (1 << 32)
+        return jnp.asarray(coeffs, dtype=jnp.uint32)
+
+    def bootstrap_many_lut(self, lwe: LweCiphertext, bsk: BootstrapKey,
+                           funcs: Sequence[Callable[[int], int]],
+                           out_modulus: int | None = None) -> LweCiphertext:
+        """Evaluate K functions of one encrypted input with ONE blind rotate.
+
+        Returns an LWE batch with leading axis K (result j = f_j(m)).
+        Contrast SpeculativePBS.run_all (core/speculative.py), which batches
+        K independent blind rotates; this shares the single rotate and only
+        the (cheap) sample extract + key switch fan out."""
+        tp = self.make_many_lut(funcs, out_modulus)
+        return self._bootstrap_many_jit(lwe, bsk, tp, len(funcs))
+
+    def _bootstrap_many_impl(self, lwe: LweCiphertext, bsk: BootstrapKey,
+                             test_poly, lut_count: int) -> LweCiphertext:
+        p = self.p
+        batch = lwe.b.shape
+        k, N = p.glwe_dim, p.poly_degree
+        acc = jnp.zeros(batch + (k + 1, N), jnp.uint32)
+        acc = acc.at[..., k, :].set(jnp.broadcast_to(test_poly, batch + (N,)))
+        acc = self.blind_rotate(acc, lwe, bsk, lut_count=lut_count)
+        extracted = self.sample_extract_at(acc, jnp.arange(lut_count))
+        return self.key_switch(extracted, bsk)
+
     def bootstrap_with_test_poly(self, lwe: LweCiphertext, bsk: BootstrapKey,
                                  test_poly):
         """testpoly accumulator -> blind rotate -> extract -> key switch
@@ -632,6 +726,20 @@ class TfheEngine:
         """PBS of [x >= threshold] (x in [0, t/2)) — check_threshold
         (encryption.h:693)."""
         lut = self.make_lut(lambda v: 1 if v >= threshold else 0)
+        return self.programmable_bootstrap(lwe, bsk, lut)
+
+    def lwe_lt_threshold(self, lwe: LweCiphertext, threshold: int,
+                         bsk: BootstrapKey) -> LweCiphertext:
+        """PBS of [x < threshold] (x in [0, t/2)) — compare_less_than
+        (encryption.h:715-813, a placeholder in the reference)."""
+        lut = self.make_lut(lambda v: 1 if v < threshold else 0)
+        return self.programmable_bootstrap(lwe, bsk, lut)
+
+    def lwe_in_range(self, lwe: LweCiphertext, lo: int, hi: int,
+                     bsk: BootstrapKey) -> LweCiphertext:
+        """PBS of [lo <= x <= hi] (x in [0, t/2)) — the reference's
+        range_check placeholder (encryption.h:715-813)."""
+        lut = self.make_lut(lambda v: 1 if lo <= v <= hi else 0)
         return self.programmable_bootstrap(lwe, bsk, lut)
 
     def detect_duplicate(self, new_lwe: LweCiphertext, existing: list,

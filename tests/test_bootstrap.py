@@ -299,3 +299,75 @@ def test_crt_backend_bit_exact_and_tfhe256_gadget():
     out = eng.bootstrap_jit(ct2, bsk, eng.default_test_poly())
     np.testing.assert_array_equal(np.asarray(eng.lwe_decrypt(out, lsk)),
                                   np.asarray(m2))
+
+
+# ---------------------------------------------------------------------------
+# Many-LUT bootstrapping (one blind rotate, K functions)
+# ---------------------------------------------------------------------------
+
+
+def test_sample_extract_at_matches_sample_extract(boot_setup):
+    p, eng, lwe_sk, glwe_sk, bsk = boot_setup
+    acc = jax.random.bits(jax.random.PRNGKey(41),
+                          (3, p.glwe_dim + 1, p.poly_degree),
+                          dtype=jnp.uint32)
+    single = eng.sample_extract(acc)
+    multi = eng.sample_extract_at(acc, jnp.array([0]))
+    np.testing.assert_array_equal(np.asarray(single.a),
+                                  np.asarray(multi.a[0]))
+    np.testing.assert_array_equal(np.asarray(single.b),
+                                  np.asarray(multi.b[0]))
+
+
+def test_sample_extract_at_oracle(boot_setup):
+    """Extraction at position p must equal coefficient p of the GLWE phase."""
+    p, eng, lwe_sk, glwe_sk, bsk = boot_setup
+    key = jax.random.PRNGKey(43)
+    gsk = eng.glwe_keygen(jax.random.fold_in(key, 0))
+    ct = eng.glwe_encrypt_zero(jax.random.fold_in(key, 1), gsk)
+    msg = jax.random.bits(jax.random.fold_in(key, 2), (p.poly_degree,),
+                          dtype=jnp.uint32)
+    data = ct.data.at[p.glwe_dim].add(msg)
+    phase = np.asarray(eng.glwe_phase(GlweCiphertext(data=data), gsk))
+    # extracted LWE decrypts under the flattened GLWE key
+    s_ext = gsk.reshape(-1)
+    positions = jnp.array([0, 1, 5, p.poly_degree - 1])
+    lwe = eng.sample_extract_at(data, positions)
+    got = np.asarray(lwe.b - eng._dot_u32(lwe.a, s_ext))
+    np.testing.assert_array_equal(got, phase[np.asarray(positions)])
+
+
+def test_many_lut_pbs(boot_setup):
+    """Four functions, one blind rotate: every lane decodes f_j(m)."""
+    p, eng, lwe_sk, glwe_sk, bsk = boot_setup
+    t = p.plaintext_modulus
+    funcs = [lambda x: x,
+             lambda x: (t - x) % t,
+             lambda x: 1 if x == 0 else 0,
+             lambda x: (x + 1) % t]
+    msgs = jnp.array([0, 1], jnp.uint32)
+    ct = eng.lwe_encrypt(jax.random.PRNGKey(47), msgs, lwe_sk,
+                         noise_std=float(2 ** 18))
+    out = eng.bootstrap_many_lut(ct, bsk, funcs)
+    dec = np.asarray(eng.lwe_decrypt(out, lwe_sk))   # (K, batch)
+    want = np.array([[f(int(m)) % t for m in np.asarray(msgs)]
+                     for f in funcs], dtype=np.uint32)
+    np.testing.assert_array_equal(dec, want)
+
+
+def test_many_lut_rejects_bad_counts():
+    eng = TfheEngine(tiny_params())
+    with pytest.raises(ValueError):
+        eng.make_many_lut([lambda x: x] * 3)
+    with pytest.raises(ValueError):
+        eng.make_many_lut([lambda x: x] * 32)   # t*K > N at N=64, t=4
+
+
+def test_lt_and_range_comparisons(boot_setup):
+    p, eng, lwe_sk, glwe_sk, bsk = boot_setup
+    msgs = jnp.array([0, 1], jnp.uint32)
+    ct = eng.lwe_encrypt(jax.random.PRNGKey(53), msgs, lwe_sk)
+    lt = np.asarray(eng.lwe_decrypt(eng.lwe_lt_threshold(ct, 1, bsk), lwe_sk))
+    np.testing.assert_array_equal(lt, np.array([1, 0], np.uint32))
+    rng_ = np.asarray(eng.lwe_decrypt(eng.lwe_in_range(ct, 1, 1, bsk), lwe_sk))
+    np.testing.assert_array_equal(rng_, np.array([0, 1], np.uint32))
