@@ -205,6 +205,12 @@ class FHEEngine:
         return self.tfhe.programmable_bootstrap(lwe, bsk,
                                                 self.tfhe.make_lut(lut_fn))
 
+    def bootstrap_many_lut(self, lwe: LweCiphertext, bsk: BootstrapKey,
+                           lut_fns):
+        """K functions of one encrypted input with a single blind rotate
+        (leading output axis = LUT index); see TfheEngine.bootstrap_many_lut."""
+        return self.tfhe.bootstrap_many_lut(lwe, bsk, lut_fns)
+
     # -- threshold decryption ------------------------------------------------
     def partial_decrypt(self, ct: Ciphertext, share: th.SecretKeyShare
                         ) -> th.PartialDecryption:
@@ -335,6 +341,7 @@ _CAMEL_ALIASES = {
     "multiplyScalar": "multiply_scalar",
     "squareRelin": "square_relin",
     "programmableBootstrap": "programmable_bootstrap",
+    "bootstrapManyLut": "bootstrap_many_lut",
     "partialDecrypt": "partial_decrypt",
     "combinePartialDecryptions": "combine_partial_decryptions",
     "getNoiseBudget": "get_noise_budget",

@@ -745,12 +745,19 @@ class TfheEngine:
     def detect_duplicate(self, new_lwe: LweCiphertext, existing: list,
                          bsk: BootstrapKey) -> LweCiphertext:
         """OR of encrypted equalities against existing ballots
-        (encryption.h detect_duplicate): sum of eq bits, then [sum >= 1]."""
+        (encryption.h detect_duplicate): sum of eq bits, then [sum >= 1].
+
+        The K equality tests run as ONE batched PBS (the existing-ballot
+        axis is a batch axis of the blind rotate), then the homomorphic
+        bit-sum feeds a single threshold PBS — 2 bootstrap programs total
+        instead of the reference's K+1 sequential ones."""
         if not existing:
             z = jnp.zeros_like(new_lwe.a), jnp.zeros_like(new_lwe.b)
             return LweCiphertext(a=z[0], b=z[1])
-        acc = None
-        for ct in existing:
-            bit = self.lwe_eq(new_lwe, ct, bsk)
-            acc = bit if acc is None else self.lwe_add(acc, bit)
+        a = jnp.stack([jnp.asarray(ct.a) for ct in existing])   # (K, ..., n)
+        b = jnp.stack([jnp.asarray(ct.b) for ct in existing])   # (K, ...)
+        diff = LweCiphertext(a=new_lwe.a[None] - a, b=new_lwe.b[None] - b)
+        bits = self.lwe_is_zero(diff, bsk)                      # batched PBS
+        acc = LweCiphertext(a=jnp.sum(bits.a, axis=0, dtype=jnp.uint32),
+                            b=jnp.sum(bits.b, axis=0, dtype=jnp.uint32))
         return self.lwe_gt_threshold(acc, 1, bsk)
