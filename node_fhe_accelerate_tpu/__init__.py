@@ -25,6 +25,10 @@ from .core.bootstrap import (
 )
 from .core.torus import TorusRing
 from .core import threshold
+from .core.streams import (
+    CiphertextReadable, CiphertextWritable, TransformStream, AdditionStream,
+    EncryptionStream, DecryptionStream, pipeline,
+)
 from .core.security import SecurityValidator
 from .core import serializer
 from .api.engine import FHEEngine, create_fhe_engine, HardwareCapabilities
@@ -50,4 +54,6 @@ __all__ = [
     "HardwareCapabilities", "FHEContext", "VotingSystem", "ElectionState",
     "TallyStreamManager", "TallyMessageAdapter", "AuditTrailManager",
     "AuditOperation", "AuditActor", "FraudDetector",
+    "CiphertextReadable", "CiphertextWritable", "TransformStream",
+    "AdditionStream", "EncryptionStream", "DecryptionStream", "pipeline",
 ]
