@@ -10,19 +10,21 @@ One `pallas_call` per scan step computes, entirely in VMEM per batch tile:
 
 vs the XLA path (core/bootstrap.py external_product_mxu), which
 
-* materializes the (lvl, j, jp, P, N, N) int8 Toeplitz expansion in HBM
-  every step (~32 MB written + read at the production shape), and
+* materializes the FULL (lvl, j, jp, P, N, N) int8 Toeplitz expansion in
+  HBM every step (~32 MB written + read at the production shape), and
 * round-trips acc/rotated/digits/partial-products through HBM between
   the rotate / decompose / dot / recombine kernels (~190 MB/step extra).
 
-Here Toeplitz TILES are built on the fly in VMEM (7 concat+roll doubling
-sweeps over a 128x256 int8 strip per tile — the same log-doubling identity
-as the XLA path, but 32 KB instead of 32 MB), and the only HBM traffic per
-step is acc in/out plus one 256 KB GGSW row.
-
-The GGSW row arrives pre-doubled, (lvl, k+1, k+1, P, 4N) int8 with
-ghat2 = [g, -g, g, -g]: a window of 255 entries starting anywhere in
-[0, 2N) never wraps, so Toeplitz windows are plain dynamic slices.
+The negacyclic Toeplitz T[c, r] = g~[(r - c) mod 2N] is BLOCK-TOEPLITZ in
+128x128 tiles: block (rt, ct) depends only on the diagonal d = rt - ct, so
+per (lvl, j, jp, plane) there are only 2*N/128 - 1 DISTINCT blocks, not
+(N/128)^2.  `build_diag_tiles` materializes exactly those diagonal blocks
+once per step in XLA (7.5 MB at the production shape — 4x less than the
+full expansion, 2N/128 = 16x less redundancy) and the kernel is then pure
+int8 MXU dots over static tile indices: block-row rt accumulates
+digits[ct] @ tile[rt - ct].  An earlier revision rebuilt every tile inside
+the kernel by roll-doubling; that redid the doubling per batch-grid tile
+(~GB/step of VPU shuffle at batch 4096), dominating the MXU dots.
 
 Bit-exactness: every op is the same exact integer algebra as the XLA
 backends — asserted against external_product_mxu in
@@ -41,7 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["cmux_step_pallas"]
+__all__ = ["cmux_step_pallas", "build_diag_tiles"]
 
 
 def _rotate_neg(x, rot, n: int, logn: int):
@@ -83,22 +85,38 @@ def _decompose(a, base_log: int, level: int):
     return digits                                       # [lvl] of a.shape i8
 
 
-def _toeplitz_tile(window):
-    """(256,) int8 window w -> (128, 256) strip S with S[c, j] = w[j - c]
-    for j >= c (j < c is wraparound garbage, never read: the Toeplitz tile
-    is S[:, 127:255] and 127 + r >= c for all c <= 127).
+def build_diag_tiles(ghat2):
+    """Distinct diagonal Toeplitz blocks of one GGSW row (XLA, per step).
 
-    Log-doubling: rows [m, 2m) are rows [0, m) rolled right by m.
+    ghat2: int8 (lvl, k+1, k+1, P, 4N), 2N-periodic digit planes of
+    [g, -g] (doubled so no slice wraps).  Returns int8
+    (lvl, k+1, k+1, P, 2*nt-1, 128, 128) with, for d = rt - ct
+    (diagonal index di = d + nt - 1),
+
+        tiles[..., di, c, r] = ghat2[..., (128*d + r - c) mod 2N]
+                             = T[128*ct + c, 128*rt + r].
+
+    Built by the log-doubling identity on a 256-wide window per diagonal:
+    strip rows [m, 2m) are rows [0, m) rolled right by m.
     """
-    s = window[None, :]
+    four_n = ghat2.shape[-1]
+    two_n = four_n // 2
+    n = two_n // 2
+    nt = n // 128
+    starts = [(128 * d - 127) % two_n for d in range(-(nt - 1), nt)]
+    w = jnp.stack([jax.lax.dynamic_slice_in_dim(ghat2, s, 256, axis=-1)
+                   for s in starts], axis=-2)           # (..., D, 256)
+    s = w[..., None, :]                                 # (..., D, 1, 256)
     m = 1
     while m < 128:
-        s = jnp.concatenate([s, pltpu.roll(s, m, axis=1)], axis=0)
+        s = jnp.concatenate([s, jnp.roll(s, m, axis=-1)], axis=-2)
         m *= 2
-    return s
+    # S[c, jj] = w[jj - c] (jj < c is wraparound garbage, never read:
+    # the tile region jj in [127, 255) has jj >= c for all c <= 127)
+    return s[..., 127:255]                              # (..., D, 128, 128)
 
 
-def _cmux_kernel(acc_ref, rot_ref, ghat_ref, out_ref, *,
+def _cmux_kernel(acc_ref, rot_ref, tiles_ref, out_ref, *,
                  n: int, logn: int, k: int, lvl: int, planes: int,
                  base_log: int):
     acc = acc_ref[:]                                   # (Bt, k+1, N) u32
@@ -107,42 +125,44 @@ def _cmux_kernel(acc_ref, rot_ref, ghat_ref, out_ref, *,
     diff = rotated - acc
     digits = _decompose(diff, base_log, lvl)           # [lvl](Bt, k+1, N) i8
 
-    n_tiles = n // 128
-    two_n = 2 * n
+    nt = n // 128
+    bt = acc.shape[0]
     for jp in range(k + 1):
-        for rt in range(n_tiles):
-            r0 = rt * 128
-            res = jnp.zeros(acc.shape[:1] + (128,), jnp.uint32)
-            for p in range(planes):
-                acc_i32 = jnp.zeros(acc.shape[:1] + (128,), jnp.int32)
+        res = jnp.zeros((bt, n), jnp.uint32)
+        for p in range(planes):
+            blocks = []
+            for rt in range(nt):
+                a32 = jnp.zeros((bt, 128), jnp.int32)
                 for l in range(lvl):
                     for j in range(k + 1):
-                        d_lj = digits[l][:, j, :]       # (Bt, N) i8
-                        g_row = ghat_ref[l, j, jp, p, :]  # (4N,) i8
-                        for ct in range(n_tiles):
-                            c0 = ct * 128
-                            start = (r0 - c0 - 127) % two_n
-                            w = jax.lax.dynamic_slice(
-                                g_row, (start,), (256,))
-                            tile = _toeplitz_tile(w)[:, 127:255]  # (128,128)
-                            d_t = d_lj[:, c0:c0 + 128]            # (Bt,128)
-                            acc_i32 = acc_i32 + jax.lax.dot_general(
-                                d_t, tile, (((1,), (0,)), ((), ())),
+                        d_lj = digits[l][:, j, :]              # (Bt, N) i8
+                        for ct in range(nt):
+                            di = rt - ct + nt - 1
+                            tile = tiles_ref[l, j, jp, p, di]  # (128, 128)
+                            x = d_lj[:, ct * 128:(ct + 1) * 128]
+                            a32 = a32 + jax.lax.dot_general(
+                                x, tile, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
-                res = res + (acc_i32.astype(jnp.uint32)
-                             << jnp.uint32(8 * p))
-            out_ref[:, jp, r0:r0 + 128] = acc[:, jp, r0:r0 + 128] + res
+                blocks.append(a32)
+            acc32 = jnp.concatenate(blocks, axis=-1)           # (Bt, N)
+            res = res + (acc32.astype(jnp.uint32) << jnp.uint32(8 * p))
+        out_ref[:, jp, :] = acc[:, jp, :] + res
 
 
 @functools.partial(jax.jit, static_argnames=("base_log", "interpret",
                                              "block_b"))
 def cmux_step_pallas(acc, rot, ghat2, base_log: int,
-                     interpret: bool = False, block_b: int = 128):
+                     interpret: bool = False, block_b: int = 64):
     """acc + GGSW (x) (X^rot acc - acc), one fused kernel launch.
 
     acc:   uint32 (..., k+1, N) — leading axes flatten into one batch
     rot:   int32 (...) rotation amounts (any values; reduced mod 2N)
     ghat2: int8 (lvl, k+1, k+1, P, 4N) pre-doubled digit planes of [g, -g]
+
+    VMEM budget at the production shape (N=1024, k=1, lvl=2, P=4,
+    block_b=64): diagonal tiles 7.5 MB (grid-invariant block — fetched
+    once) + acc/out 1 MB + rotate/digit temporaries ~2 MB, within the
+    ~16 MB/core budget; raise block_b on hardware if profiling allows.
     """
     lead = acc.shape[:-2]
     kp1, n = acc.shape[-2:]
@@ -159,6 +179,8 @@ def cmux_step_pallas(acc, rot, ghat2, base_log: int,
             break
     rot2 = jnp.broadcast_to(jnp.asarray(rot, jnp.int32),
                             lead).reshape(B, 1)
+    tiles = build_diag_tiles(ghat2)   # (lvl, kp1, kp1, P, 2nt-1, 128, 128)
+    nt = n // 128
 
     kernel = functools.partial(
         _cmux_kernel, n=n, logn=logn, k=kp1 - 1, lvl=lvl, planes=planes,
@@ -172,11 +194,11 @@ def cmux_step_pallas(acc, rot, ghat2, base_log: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((lvl, kp1, kp1, planes, four_n),
-                         lambda i: (0, 0, 0, 0, 0),
+            pl.BlockSpec((lvl, kp1, kp1, planes, 2 * nt - 1, 128, 128),
+                         lambda i: (0, 0, 0, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bt, kp1, n), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(acc, rot2, ghat2).reshape(orig_shape)
+    )(acc, rot2, tiles).reshape(orig_shape)
