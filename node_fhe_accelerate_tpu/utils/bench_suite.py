@@ -32,6 +32,7 @@ import csv
 import io
 import json
 import math
+import os
 import time
 from dataclasses import dataclass, asdict
 
@@ -218,6 +219,54 @@ class ComprehensiveBenchmarkRunner:
             self._record(
                 "bootstrap", f"pbs_n{p.n_lwe}_N{p.poly_degree}_{tag}",
                 "tpu-mxu", batch, samples, batch, correct, batch=batch)
+            if production and p.poly_degree % 128 == 0:
+                # fused Pallas CMux backend — consumes the same ggsw_i8
+                # BSK form, so the cached key drops in unchanged
+                eng_pl = TfheEngine(p, ext_backend="pallas")
+                samples = self.timer.run(
+                    lambda e=eng_pl: e.bootstrap_jit(ct, bsk, tp))
+                out = eng_pl.bootstrap_jit(ct, bsk, tp)
+                dec = np.asarray(eng_pl.lwe_decrypt(out, lwe_sk))
+                correct = bool(np.array_equal(dec, np.asarray(msgs)))
+                self._record(
+                    "bootstrap", f"pbs_n{p.n_lwe}_N{p.poly_degree}_{tag}",
+                    "tpu-pallas", batch, samples, batch, correct,
+                    batch=batch)
+
+    def benchmark_bootstrap_tfhe256(self, batch: int = 256):
+        """PBS at the TFHE_256_SECURE polynomial geometry (N=4096, l=3,
+        Bg=2^10 — parameter_set.cpp:166-191) on the dual-prime CRT
+        external-product backend (the gadget overflows both the int8 MXU
+        bound and the single 54-bit prime).  Opt-in from run_full_suite via
+        NFA_BENCH_TFHE256=1: BSK keygen at this shape is minutes-scale on
+        first run (disk-cached afterwards)."""
+        from ..core.bootstrap import TfheParams, TfheEngine
+        import jax.numpy as jnp
+        p = TfheParams(n_lwe=1024, poly_degree=4096, glwe_dim=1,
+                       pbs_base_log=10, pbs_level=3,
+                       ks_base_log=4, ks_level=8,
+                       lwe_noise_std=2.0 ** 10, glwe_noise_std=2.0 ** 4,
+                       plaintext_modulus=16)
+        from ..core.keycache import BootstrapKeyCache
+        cache = BootstrapKeyCache()
+        eng = TfheEngine(p, ext_backend="crt")
+        lwe_sk, glwe_sk, bsk = cache.load(eng, 0)
+        bsk_was_cached = bsk is not None
+        if bsk is None:
+            key = jax.random.PRNGKey(0)
+            bsk = eng.generate_bootstrap_key(jax.random.fold_in(key, 2),
+                                             lwe_sk, glwe_sk)
+        msgs = jnp.arange(batch, dtype=jnp.uint32) % 8
+        ct = eng.lwe_encrypt(jax.random.PRNGKey(3), msgs, lwe_sk)
+        tp = eng.default_test_poly()
+        samples = self.timer.run(lambda: eng.bootstrap_jit(ct, bsk, tp))
+        out = eng.bootstrap_jit(ct, bsk, tp)
+        if not bsk_was_cached:
+            cache.store(eng, 0, bsk)
+        dec = np.asarray(eng.lwe_decrypt(out, lwe_sk))
+        correct = bool(np.array_equal(dec, np.asarray(msgs)))
+        self._record("bootstrap", "pbs_n1024_N4096_l3_tfhe256",
+                     "tpu-crt", batch, samples, batch, correct, batch=batch)
 
     def benchmark_zk(self, log_constraints: int = 12, msm_points: int = 4096):
         """ZK proving scale: Groth16 prove over a 2^log_constraints-gate
@@ -301,6 +350,8 @@ class ComprehensiveBenchmarkRunner:
         self.benchmark_ntt()
         self.benchmark_poly_mul()
         self.benchmark_bootstrap(production=production)
+        if production and os.environ.get("NFA_BENCH_TFHE256"):
+            self.benchmark_bootstrap_tfhe256()
         self.benchmark_zk(log_constraints=12 if production else 6,
                           msm_points=4096 if production else 64)
         self.benchmark_pipeline()
