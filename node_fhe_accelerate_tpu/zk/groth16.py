@@ -272,6 +272,23 @@ class Groth16Prover:
     def _rand(self):
         return self._rng.scalar()
 
+    def _b_g2_device(self, setup: "Groth16Setup", w: list, s_s: int):
+        """Device G2 MSM for the proof's B: one Pippenger over
+        [beta, delta, B_0..B_{n-1}] with scalars [1, s, w_0..w_{n-1}].
+        Device-encoded points are cached on the setup (proving-key reuse)."""
+        from .curve_g2 import bn254_g2
+        g2c = getattr(self, "_g2_curve", None)
+        if g2c is None:
+            g2c = self._g2_curve = bn254_g2()
+        dev = getattr(setup, "_b_query_g2_dev", None)
+        if dev is None:
+            aff = [setup.beta_g2, setup.delta_g2] + list(setup.b_query_g2)
+            dev = g2c.from_affine_pairs(aff)       # None -> infinity
+            setup._b_query_g2_dev = dev
+        out = g2c.msm(_scalars([1, s_s] + list(w)), dev)
+        return g2c.to_affine_pairs((out[0][None], out[1][None],
+                                    out[2][None]))[0]
+
     # -- setup (groth16.cpp setup, with real G2) -----------------------------
     def setup(self, r1cs: R1CS) -> Groth16Setup:
         c = self.curve
@@ -347,16 +364,23 @@ class Groth16Prover:
         pts_a = _stack_points([setup.alpha_g1, setup.a_query,
                                setup.delta_g1])
         A_pt = c.msm(_scalars([1] + w + [r_s]), pts_a)
-        # B (G2, host Jacobian Pippenger) = beta + sum w_i B_i + s*delta
-        g2_pts = []
-        g2_scs = []
-        for i, wi in enumerate(w):
-            if wi and setup.b_query_g2[i] is not None:
-                g2_pts.append(setup.b_query_g2[i])
-                g2_scs.append(wi)
-        B_g2 = pr.g2_add(setup.beta_g2, pr.g2_mul(setup.delta_g2, s_s))
-        if g2_pts:
-            B_g2 = pr.g2_add(B_g2, pr.g2_msm(g2_pts, g2_scs))
+        # B (G2) = beta + sum w_i B_i + s*delta.  On TPU this is ONE device
+        # Pippenger MSM over Fq2 (zk/curve_g2.py — the same sorted-scan
+        # kernel as G1; the reference's G2 never left the CPU, and its
+        # Groth16 G2 ops are G1 placeholders, groth16.cpp:822-870).  On the
+        # CPU test backend it stays on the host FQ2 Jacobian Pippenger.
+        if jax.default_backend() == "cpu":
+            g2_pts = []
+            g2_scs = []
+            for i, wi in enumerate(w):
+                if wi and setup.b_query_g2[i] is not None:
+                    g2_pts.append(setup.b_query_g2[i])
+                    g2_scs.append(wi)
+            B_g2 = pr.g2_add(setup.beta_g2, pr.g2_mul(setup.delta_g2, s_s))
+            if g2_pts:
+                B_g2 = pr.g2_add(B_g2, pr.g2_msm(g2_pts, g2_scs))
+        else:
+            B_g2 = self._b_g2_device(setup, w, s_s)
         # B in G1 for C computation
         pts_b1 = _stack_points([setup.beta_g1, setup.b_query_g1,
                                 setup.delta_g1])
