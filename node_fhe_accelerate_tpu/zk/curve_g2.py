@@ -23,16 +23,28 @@ import jax.numpy as jnp
 from .curve import Curve
 from .field2 import Field2, bn254_fq2
 from . import pairing as pr
-from .pairing import FQ2, g2_msm, g2_mul, g2_add
 
-__all__ = ["G2Curve", "bn254_g2"]
+__all__ = ["G2Curve", "bn254_g2", "bls12_381_g2"]
 
 
 class G2Curve(Curve):
-    """Short-Weierstrass curve over Fq2 (a = 0, b = twist constant)."""
+    """Short-Weierstrass curve over Fq2 (a = 0, b = twist constant).
+
+    ``host_mod`` supplies the matching host FQ2 tower (zk/pairing.py for
+    BN254, zk/pairing_bls.py for BLS12-381) used by the CPU-backend
+    fallbacks and affine extraction; the device paths never touch it."""
+
+    def __init__(self, fq2, b, gx, gy, order, host_mod):
+        super().__init__(fq2, b, gx, gy, order)
+        self._hm = host_mod
+
+    @property
+    def FQ2(self):
+        return self._hm.FQ2
 
     # -- host-side checks ------------------------------------------------------
     def is_on_curve_affine(self, x, y) -> bool:
+        FQ2 = self.FQ2
         xf, yf = FQ2(list(self.fq._pair(x))), FQ2(list(self.fq._pair(y)))
         return yf * yf - xf * xf * xf == FQ2(list(self.fq._pair(self.b)))
 
@@ -45,6 +57,7 @@ class G2Curve(Curve):
         z0, z1 = f.decode(pts[2])
         x0, x1, y0, y1, z0, z1 = (np.atleast_1d(a)
                                   for a in (x0, x1, y0, y1, z0, z1))
+        FQ2 = self.FQ2
         out = []
         for i in range(len(x0)):
             if z0[i] == 0 and z1[i] == 0:
@@ -87,7 +100,15 @@ class G2Curve(Curve):
         if backend == "host":
             svals = self._scalars_to_ints(scalar_limbs)
             aff = self.to_affine_pairs(points)
-            res = g2_msm(aff, svals)
+            msm_fn = getattr(self._hm, "g2_msm", None)
+            if msm_fn is not None:
+                res = msm_fn(aff, svals)
+            else:                     # affine fold (pairing_bls has no MSM)
+                res = None
+                for p_i, s_i in zip(aff, svals):
+                    if p_i is None or s_i % self.order == 0:
+                        continue
+                    res = self._hm.g2_add(res, self._hm.g2_mul(p_i, s_i))
             X, Y, Z = self.from_affine_pairs([res])
             return (X[0], Y[0], Z[0])
         return super().msm(scalar_limbs, points, pad_pow2=pad_pow2,
@@ -105,9 +126,11 @@ class G2Curve(Curve):
         if backend == "device":
             return super().fixed_base_mul(scalars, base_affine,
                                           backend="device")
+        FQ2 = self.FQ2
         base = (FQ2(list(self.fq._pair(base_affine[0]))),
                 FQ2(list(self.fq._pair(base_affine[1]))))
-        return self.from_affine_pairs([g2_mul(base, s) for s in scalars])
+        return self.from_affine_pairs(
+            [self._hm.g2_mul(base, s) for s in scalars])
 
 
 def bn254_g2() -> G2Curve:
@@ -119,4 +142,18 @@ def bn254_g2() -> G2Curve:
     gx = tuple(int(c) for c in pr.G2_GENERATOR[0].coeffs)
     gy = tuple(int(c) for c in pr.G2_GENERATOR[1].coeffs)
     from .field import BN254_FR
-    return G2Curve(f2, b2, gx, gy, BN254_FR)
+    return G2Curve(f2, b2, gx, gy, BN254_FR, pr)
+
+
+def bls12_381_g2() -> G2Curve:
+    """BLS12-381 G2: y^2 = x^3 + 4(1+u) over Fq2 (pairing_bls.py _B2);
+    same device stack, 48-digit base field; host fallbacks use the
+    pairing_bls tower (affine fold — no Jacobian MSM there yet)."""
+    from .field2 import bls12_381_fq2
+    from .field import BLS12_381_FR
+    from . import pairing_bls as prb
+    f2 = bls12_381_fq2()
+    b2 = tuple(int(c) for c in prb._B2.coeffs)
+    gx = tuple(int(c) for c in prb.G2_GENERATOR[0].coeffs)
+    gy = tuple(int(c) for c in prb.G2_GENERATOR[1].coeffs)
+    return G2Curve(f2, b2, gx, gy, BLS12_381_FR, prb)

@@ -332,6 +332,21 @@ class Groth16Prover:
                 return c.infinity((1,))
             return c.fixed_base_mul(scalars)
 
+        # G2 query: per-wire host g2_mul on the CPU backend; on TPU one
+        # device fixed-base ladder computes every [B_i(tau)]*G2 in a single
+        # fused program (zk/curve_g2.py — the batch is the wire axis).
+        if jax.default_backend() == "cpu":
+            b_query_g2 = [pr.g2_mul(pr.G2_GENERATOR, bi) if bi else None
+                          for bi in B]
+        else:
+            from .curve_g2 import bn254_g2
+            g2c = getattr(self, "_g2_curve", None)
+            if g2c is None:
+                g2c = self._g2_curve = bn254_g2()
+            dev = g2c.fixed_base_mul(B, backend="device")
+            aff = g2c.to_affine_pairs(dev)
+            b_query_g2 = [a if bi else None for a, bi in zip(aff, B)]
+
         setup = Groth16Setup(
             r1cs=r1cs,
             alpha_g1=g1s([alpha]), beta_g1=g1s([beta]), delta_g1=g1s([delta]),
@@ -341,8 +356,7 @@ class Groth16Prover:
             beta_g2=pr.g2_mul(pr.G2_GENERATOR, beta),
             delta_g2=pr.g2_mul(pr.G2_GENERATOR, delta),
             gamma_g2=pr.g2_mul(pr.G2_GENERATOR, gamma),
-            b_query_g2=[pr.g2_mul(pr.G2_GENERATOR, bi) if bi else None
-                        for bi in B],
+            b_query_g2=b_query_g2,
             ic=g1s(ic_scalars),
         )
         setup._circuit = circuit

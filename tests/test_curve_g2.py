@@ -170,3 +170,25 @@ def test_groth16_b_device_formula_matches_host():
     if pts:
         want = pr.g2_add(want, pr.g2_msm(pts, scs))
     assert got == want
+
+
+def test_bls12_381_g2_device_ops_match_oracle():
+    from node_fhe_accelerate_tpu.zk.curve_g2 import bls12_381_g2
+    from node_fhe_accelerate_tpu.zk import pairing_bls as prb
+
+    b = bls12_381_g2()
+    assert b.is_on_curve_affine(b.gen_affine[0], b.gen_affine[1])
+    gen = b.generator()
+    d2 = b.double(gen)
+    d3 = b.add(d2, gen)
+    aff2 = b.to_affine_pairs((d2[0][None], d2[1][None], d2[2][None]))[0]
+    aff3 = b.to_affine_pairs((d3[0][None], d3[1][None], d3[2][None]))[0]
+    assert aff2 == prb.g2_mul(prb.G2_GENERATOR, 2)
+    assert aff3 == prb.g2_mul(prb.G2_GENERATOR, 3)
+    # host msm fallback (affine fold) on a couple of points
+    pts = b.from_affine_pairs([prb.G2_GENERATOR, aff2])
+    import node_fhe_accelerate_tpu.ops.limbs as lb2
+    out = b.msm(lb2.limbs_from_ints([3, 5], 8), pts, backend="host")
+    want = prb.g2_mul(prb.G2_GENERATOR, 13)      # 3*1 + 5*2
+    assert b.to_affine_pairs((out[0][None], out[1][None],
+                              out[2][None]))[0] == want
