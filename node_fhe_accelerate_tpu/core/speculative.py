@@ -51,6 +51,19 @@ class SpeculativePBS:
         extracted = eng.sample_extract(acc)
         return eng.key_switch(extracted, bsk)
 
+    def run_all_funcs(self, lwe: LweCiphertext, bsk: BootstrapKey,
+                      funcs: Sequence) -> LweCiphertext:
+        """Like run_all but from plaintext functions, sharing ONE blind
+        rotate via many-LUT bootstrapping (bootstrap_many_lut) when the
+        function count is a power of two within the window budget —
+        K times cheaper than the replicated-accumulator path; falls back
+        to run_all otherwise."""
+        K = len(funcs)
+        eng = self.engine
+        if K and not (K & (K - 1)) and eng.t * K <= eng.p.poly_degree:
+            return eng.bootstrap_many_lut(lwe, bsk, funcs)
+        return self.run_all(lwe, bsk, [eng.make_lut(f) for f in funcs])
+
     def run_and_select(self, lwe: LweCiphertext, bsk: BootstrapKey,
                        luts: Sequence, selector: int) -> LweCiphertext:
         """All-LUT evaluation + oblivious selection

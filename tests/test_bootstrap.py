@@ -371,3 +371,16 @@ def test_lt_and_range_comparisons(boot_setup):
     np.testing.assert_array_equal(lt, np.array([1, 0], np.uint32))
     rng_ = np.asarray(eng.lwe_decrypt(eng.lwe_in_range(ct, 1, 1, bsk), lwe_sk))
     np.testing.assert_array_equal(rng_, np.array([0, 1], np.uint32))
+
+
+def test_speculative_run_all_funcs_uses_single_rotate(boot_setup):
+    """run_all_funcs == per-LUT bootstrap results, via the many-LUT path."""
+    from node_fhe_accelerate_tpu.core.speculative import SpeculativePBS
+    p, eng, lwe_sk, glwe_sk, bsk = boot_setup
+    t = p.plaintext_modulus
+    funcs = [lambda x: x, lambda x: 1 if x == 0 else 0]
+    ct = eng.lwe_encrypt(jax.random.PRNGKey(61), jnp.array([1], jnp.uint32),
+                         lwe_sk)
+    out = SpeculativePBS(eng).run_all_funcs(ct, bsk, funcs)
+    dec = np.asarray(eng.lwe_decrypt(out, lwe_sk))
+    np.testing.assert_array_equal(dec[:, 0], np.array([1, 0], np.uint32))
