@@ -321,6 +321,36 @@ class ComprehensiveBenchmarkRunner:
         self._record("zk", f"msm_bn254_{msm_points}", backend, msm_points,
                      samples, msm_points, bool(ok), batch=msm_points)
 
+    def benchmark_ckks(self, batch_slots: int | None = None):
+        """CKKS leveled multiply-relin-rescale at the CKKS_128_ML chain
+        (N=16384, 5 moduli — parameter_set.cpp:226-259).  The reference
+        ships this preset but computes BFV semantics on one modulus; this
+        row times the real thing (per-prime NTT tensor + RNS keyswitch +
+        exact rescale) and checks elementwise precision."""
+        from ..core.params import CKKS_128_ML
+        from ..core.ckks import CkksEngine
+
+        params = CKKS_128_ML()
+        eng = CkksEngine(params)
+        key = jax.random.PRNGKey(0)
+        sk = eng.generate_secret_key(jax.random.fold_in(key, 0))
+        pk = eng.generate_public_key(jax.random.fold_in(key, 1), sk)
+        rlk = eng.generate_relin_keys(jax.random.fold_in(key, 2), sk)
+        n_slots = params.poly_degree // 2
+        rng = np.random.default_rng(5)
+        va = rng.uniform(-1, 1, n_slots)
+        vb = rng.uniform(-1, 1, n_slots)
+        ca = eng.encrypt(jax.random.fold_in(key, 3), va, pk)
+        cb = eng.encrypt(jax.random.fold_in(key, 4), vb, pk)
+        samples = self.timer.run(
+            lambda: eng.multiply_relin_rescale(ca, cb, rlk).c0)
+        out = eng.multiply_relin_rescale(ca, cb, rlk)
+        got = eng.decrypt(out, sk)
+        correct = bool(np.max(np.abs(np.real(got) - va * vb)) < 1e-3)
+        self._record("ckks", "ckks_mul_relin_rescale_N16384",
+                     jax.default_backend(), params.poly_degree, samples,
+                     n_slots, correct, batch=1)
+
     def benchmark_pipeline(self, ballots: int = 64):
         """Encrypted-ballot tally pipeline throughput."""
         from ..core.params import ParameterSet, FHEScheme
@@ -354,6 +384,8 @@ class ComprehensiveBenchmarkRunner:
             self.benchmark_bootstrap_tfhe256()
         self.benchmark_zk(log_constraints=12 if production else 6,
                           msm_points=4096 if production else 64)
+        if production:
+            self.benchmark_ckks()
         self.benchmark_pipeline()
         return self.results
 
