@@ -321,6 +321,26 @@ class ComprehensiveBenchmarkRunner:
         self._record("zk", f"msm_bn254_{msm_points}", backend, msm_points,
                      samples, msm_points, bool(ok), batch=msm_points)
 
+        # G2 MSM (device Fq2 Pippenger, zk/curve_g2.py) — the reference has
+        # no G2 acceleration at all (zk_hardware_accel.mm is G1-only).
+        # Smaller batch: the host-oracle check is FQ2 big-int Pippenger.
+        from ..zk.curve_g2 import bn254_g2
+        from ..zk.pairing import g2_msm, g2_mul, G2_GENERATOR
+        g2n = max(64, msm_points // 8)
+        g2c = bn254_g2()
+        ks = [int(k) for k in rng.integers(1, 1 << 16, g2n)]
+        aff = [g2_mul(G2_GENERATOR, k) for k in ks]
+        pts2 = g2c.from_affine_pairs(aff)
+        svals2 = [int(s) for s in rng.integers(1, 1 << 62, g2n)]
+        limbs2 = _scalars(svals2)
+        out2 = g2c.msm(limbs2, pts2)
+        samples = self.timer.run(lambda: g2c.msm(limbs2, pts2))
+        got_aff = g2c.to_affine_pairs((out2[0][None], out2[1][None],
+                                       out2[2][None]))[0]
+        ok2 = got_aff == g2_msm(aff, svals2)
+        self._record("zk", f"msm_bn254_g2_{g2n}", backend, g2n, samples,
+                     g2n, bool(ok2), batch=g2n)
+
     def benchmark_ckks(self, batch_slots: int | None = None):
         """CKKS leveled multiply-relin-rescale at the CKKS_128_ML chain
         (N=16384, 5 moduli — parameter_set.cpp:226-259).  The reference
