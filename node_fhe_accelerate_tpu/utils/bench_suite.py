@@ -49,6 +49,7 @@ __all__ = ["BenchmarkResult", "StatisticalAnalyzer", "BenchmarkTimer",
 _BASELINES = {
     "modmul_batch_1024": 564_000.0,      # Barrett 4x, BENCHMARK_REPORT.md:31
     "modmul_batch_16384": 37_200.0,      # BENCHMARK_REPORT.md:58
+    "modmul_batch_65536": 8_750.0,       # BENCHMARK_REPORT.md:72-84
     "ntt_forward_1024": 116_500.0,       # AMX matrix NTT, :86-97
     "ntt_forward_4096": 25_200.0,        # SME tile NTT, :99-110
     "ntt_forward_16384": 5_370.0,        # :112-123
@@ -120,7 +121,7 @@ class ComprehensiveBenchmarkRunner:
         self.results: list[BenchmarkResult] = []
 
     # -- suites --------------------------------------------------------------
-    def benchmark_modmul(self, sizes=(1024, 16384)):
+    def benchmark_modmul(self, sizes=(1024, 16384, 65536)):
         from ..ops.modular import ModCtx, mod_mul_np
         from ..ops.u64 import u64_from_np, u64_to_np
         from ..core.params import Primes
@@ -139,12 +140,16 @@ class ComprehensiveBenchmarkRunner:
             self._record("modmul", f"modmul_batch_{n}", "tpu-vpu", n,
                          samples, n, correct, batch=n)
 
-    def benchmark_ntt(self, degrees=(1024, 4096), batch: int = 8192):
+    def benchmark_ntt(self, degrees=(1024, 4096, 16384), batch: int = 8192):
         from ..ops.ntt import NTTContext
         from ..ops.u64 import u64_from_np
         from ..core.params import Primes
 
         for n in degrees:
+            # keep the working set ~constant: 8192 rows at N=1024 ->
+            # 512 rows at N=16384 (HBM pressure flattens throughput far
+            # below these sizes anyway; batch is recorded per row)
+            batch = max(256, (8192 * 1024) // n)
             q = Primes.Q_40_1 if n <= (1 << 31) else Primes.Q_60_1
             ntt = NTTContext(n, q)
             fwd = jax.jit(ntt.forward)
