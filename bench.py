@@ -5,7 +5,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Headline: TFHE programmable-bootstrap throughput at the production shape
 (n=630, N=1024, k=1 — the reference's TFHE_128 LWE/GLWE geometry,
 parameter_set.cpp:108-137) with the level-2 gadget preset (Bg=2^8, l=2)
-and the int8 MXU external-product backend (core/bootstrap.py, ops/i8.py).
+and the auto-selected external-product backend: the fused Pallas CMux
+kernel on TPU (ops/pallas_cmux.py — rotate + decompose + int8 MXU
+Toeplitz dots in one VMEM-resident kernel per blind-rotate step; A/B'd
+fastest on v5e, benchmark_results/ab_pallas_v5e.jsonl), the XLA int8 MXU
+path elsewhere (core/bootstrap.py, ops/i8.py).
 
 vs_baseline = bootstraps/s / 50: the reference's only bootstrap anchor is
 its "<20 ms per bootstrap" README claim on M4 Max (README.md:75,
@@ -41,7 +45,7 @@ def _watchdog(limit_s: float = 300.0):
             "unit": "bootstraps/s", "vs_baseline": 0.0,
             "error": f"device init exceeded {limit_s:.0f}s — axon tunnel "
                      "down (jax.devices() hang); last measured rate on this "
-                     "code: 3258.7 bootstraps/s (2026-08-18, v5e)",
+                     "code: 3603.4 bootstraps/s (2026-08-19, v5e)",
         }), flush=True)
         os._exit(3)
 
@@ -50,6 +54,14 @@ threading.Thread(target=_watchdog, daemon=True).start()
 
 import numpy as np
 import jax
+
+# Persistent XLA compilation cache: bootstrap-program compiles are
+# minutes-scale through the axon remote-compile path; repeat bench runs
+# (and the driver's round-end run) skip them entirely on a warm cache.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".xla_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 jax.devices()            # force backend init under the watchdog
 _init_done.set()
@@ -64,7 +76,7 @@ BASELINE_BOOTSTRAPS_PER_SEC = 50.0  # M4 Max, <20ms/bootstrap (README.md:75)
 def main():
     batch = 4096
     p = TFHE_BOOT_128_L2()
-    eng = TfheEngine(p, ext_backend="mxu")
+    eng = TfheEngine(p)   # auto backend: fused Pallas CMux on TPU
 
     # BSK disk cache: repeat runs skip the ~minutes keygen.  On a miss the
     # key is generated now but STORED only after the timed loop — store()
@@ -81,19 +93,23 @@ def main():
     jax.block_until_ready(bsk.ggsw_i8)
 
     msgs = jnp.arange(batch, dtype=jnp.uint32) % 2
-    ct = eng.lwe_encrypt(jax.random.PRNGKey(3), msgs, lwe_sk)
+    # DISTINCT ciphertext batch per timed iteration: repeated identical
+    # dispatches can be deduplicated relay-side (observed 2026-08-19:
+    # a literally-identical repeat run reported an impossible rate).
+    iters = 5
+    cts = [eng.lwe_encrypt(jax.random.PRNGKey(100 + i), msgs, lwe_sk)
+           for i in range(iters)]
     tp = eng.default_test_poly()
 
     # Warmup/compile
-    out = eng.bootstrap_jit(ct, bsk, tp)
+    out = eng.bootstrap_jit(cts[0], bsk, tp)
     jax.block_until_ready(out.a)
 
-    iters = 5
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = eng.bootstrap_jit(ct, bsk, tp)
-    jax.block_until_ready(out.a)
+    outs = [eng.bootstrap_jit(c, bsk, tp) for c in cts]
+    jax.block_until_ready([o.a for o in outs])
     dt = time.perf_counter() - t0
+    out = outs[0]
 
     # Correctness check (d2h only after the timed loop)
     if not bsk_was_cached:

@@ -130,8 +130,14 @@ for _cls, _fields in ((LweCiphertext, ("a", "b")),
 class TfheEngine:
     """Batched torus-2^32 TFHE over a TorusRing."""
 
-    def __init__(self, params: TfheParams, ext_backend: str = "mxu"):
+    def __init__(self, params: TfheParams, ext_backend: str = "auto"):
         """ext_backend selects the external-product engine:
+
+        * "auto" (default): "pallas" on a real TPU when the shape
+          qualifies (N % 128 == 0 and the int8 accumulation bound holds —
+          measured fastest on v5e, benchmark_results/ab_pallas_v5e.jsonl);
+          "mxu" otherwise (the XLA path; on the CPU test backend the
+          pallas kernel would run in interpret mode, which is slow).
 
         * "mxu" (default): int8 digit-plane negacyclic matmul on the MXU —
           one [batch, (k+1)*level*N] x [..., (k+1)*N*4] int8 contraction
@@ -149,8 +155,16 @@ class TfheEngine:
           TFHE_256's base 2^10 at N=4096 that overflows both the int8 MXU
           accumulation bound and the single 54-bit prime.
         """
-        if ext_backend not in ("mxu", "ntt", "pallas", "crt"):
+        if ext_backend not in ("auto", "mxu", "ntt", "pallas", "crt"):
             raise ValueError(f"unknown ext_backend {ext_backend!r}")
+        if ext_backend == "auto":
+            i8_ok = (params.poly_degree % 128 == 0 and
+                     (params.glwe_dim + 1) * params.pbs_level *
+                     params.poly_degree *
+                     (1 << (params.pbs_base_log - 1)) * 128 < (1 << 31))
+            on_tpu = jax.default_backend() not in ("cpu",)
+            ext_backend = ("pallas" if (i8_ok and on_tpu)
+                           else "mxu" if i8_ok else "crt")
         self.p = params
         self.backend = ext_backend
         self.ring = TorusRing(params.poly_degree)

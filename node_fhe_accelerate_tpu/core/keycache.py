@@ -92,7 +92,11 @@ class BootstrapKeyCache:
         h = hashlib.sha256()
         h.update(json.dumps(dataclasses.asdict(engine.p)).encode())
         h.update(str(int(seed)).encode())
-        h.update(engine.backend.encode())
+        # Key by the BSK *form* the backend consumes, not the backend name:
+        # "mxu" and "pallas" share the ggsw_i8 form bit-for-bit.
+        form = {"mxu": "i8", "pallas": "i8"}.get(engine.backend,
+                                                 engine.backend)
+        h.update(form.encode())
         return os.path.join(self.dir, h.hexdigest()[:32] + ".fheb")
 
     def get_or_generate(self, engine, seed: int):

@@ -116,9 +116,38 @@ def build_diag_tiles(ghat2):
     return s[..., 127:255]                              # (..., D, 128, 128)
 
 
-def _cmux_kernel(acc_ref, rot_ref, tiles_ref, out_ref, *,
-                 n: int, logn: int, k: int, lvl: int, planes: int,
-                 base_log: int):
+def build_diag_slabs(ghat2):
+    """Diagonal blocks in matmul-slab layout for the fused kernel.
+
+    Returns int8 (D, lvl*(k+1)*128, (k+1)*P*128): slab di is the weight
+    matrix W with W[(l, j, c), (jp, p, r)] = tiles[l, j, jp, p, di, c, r],
+    so block-row rt of the external product is
+
+        out[bt, (jp, p, 128rt + r)] = sum_ct  X_ct @ W[rt - ct + nt - 1]
+
+    with X_ct = digits arranged (bt, (l, j, c)) at coefficient block ct.
+    Collapsing (l, j, c) into one K=lvl*(k+1)*128 contraction and
+    (jp, p, r) into one wide output axis turns the kernel's 2048 little
+    (bt,128)x(128,128) dots per batch tile into nt^2 = 64 MXU-shaped
+    (bt, K)x(K, (k+1)*P*128) dots — same bytes (~7.9 MB at production
+    shape), same exact int8/int32 algebra.
+    """
+    lvl, kp1, _, planes, _ = ghat2.shape
+    tiles = build_diag_tiles(ghat2)    # (lvl, j, jp, P, D, c, r)
+    d = tiles.shape[-3]
+    slabs = jnp.transpose(tiles, (4, 0, 1, 5, 2, 3, 6))  # (D,l,j,c,jp,P,r)
+    return slabs.reshape(d, lvl * kp1 * 128, kp1 * planes * 128)
+
+
+def _cmux_kernel_v1(acc_ref, rot_ref, tiles_ref, out_ref, *,
+                    n: int, logn: int, k: int, lvl: int, planes: int,
+                    base_log: int):
+    """DEFAULT variant: 128x128-tile dots (2048 issues/grid-tile at the
+    production shape).  Measured FASTEST on v5e (3603 bootstraps/s at
+    batch 4096, block_b=64 — benchmark_results/ab_pallas_v5e.jsonl); the
+    big-slab v2 below measured 3093/s in its transposed-X form and its
+    slice-concat form fails Mosaic remote compilation (HTTP 500,
+    2026-08-19), so v1 stays the default."""
     acc = acc_ref[:]                                   # (Bt, k+1, N) u32
     rot = rot_ref[:]                                   # (Bt, 1) i32
     rotated = _rotate_neg(acc, rot, n, logn)
@@ -149,10 +178,49 @@ def _cmux_kernel(acc_ref, rot_ref, tiles_ref, out_ref, *,
         out_ref[:, jp, :] = acc[:, jp, :] + res
 
 
+def _cmux_kernel(acc_ref, rot_ref, slabs_ref, out_ref, *,
+                 n: int, logn: int, k: int, lvl: int, planes: int,
+                 base_log: int):
+    acc = acc_ref[:]                                   # (Bt, k+1, N) u32
+    rot = rot_ref[:]                                   # (Bt, 1) i32
+    rotated = _rotate_neg(acc, rot, n, logn)
+    diff = rotated - acc
+    digits = _decompose(diff, base_log, lvl)           # [lvl](Bt, k+1, N) i8
+
+    nt = n // 128
+    bt = acc.shape[0]
+    kp1 = k + 1
+    # X_ct[bt, (l, j, c)] — contraction layout matching build_diag_slabs,
+    # built by lane-aligned slice+concat (no int8 sublane transpose).
+    xs = [jnp.concatenate(
+        [digits[l][:, j, ct * 128:(ct + 1) * 128]
+         for l in range(lvl) for j in range(kp1)], axis=-1)
+        for ct in range(nt)]                           # nt of (Bt, K)
+
+    wide = kp1 * planes * 128
+    blocks = []
+    for rt in range(nt):
+        a32 = jnp.zeros((bt, wide), jnp.int32)
+        for ct in range(nt):
+            di = rt - ct + nt - 1
+            a32 = a32 + jax.lax.dot_general(
+                xs[ct], slabs_ref[di],                 # (Bt,K)x(K,wide)
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        blocks.append(a32.reshape(bt, kp1, planes, 128))
+    acc32 = jnp.concatenate(blocks, axis=-1)           # (Bt, k+1, P, N)
+    res = jnp.zeros((bt, kp1, n), jnp.uint32)
+    for p in range(planes):
+        res = res + (acc32[:, :, p, :].astype(jnp.uint32)
+                     << jnp.uint32(8 * p))
+    out_ref[:] = acc + res
+
+
 @functools.partial(jax.jit, static_argnames=("base_log", "interpret",
-                                             "block_b"))
+                                             "block_b", "variant"))
 def cmux_step_pallas(acc, rot, ghat2, base_log: int,
-                     interpret: bool = False, block_b: int = 64):
+                     interpret: bool = False, block_b: int = 64,
+                     variant: str = "v1"):
     """acc + GGSW (x) (X^rot acc - acc), one fused kernel launch.
 
     acc:   uint32 (..., k+1, N) — leading axes flatten into one batch
@@ -179,11 +247,18 @@ def cmux_step_pallas(acc, rot, ghat2, base_log: int,
             break
     rot2 = jnp.broadcast_to(jnp.asarray(rot, jnp.int32),
                             lead).reshape(B, 1)
-    tiles = build_diag_tiles(ghat2)   # (lvl, kp1, kp1, P, 2nt-1, 128, 128)
     nt = n // 128
 
+    if variant == "v1":
+        weights = build_diag_tiles(ghat2)
+        kern = _cmux_kernel_v1
+        w_index = lambda i: (0,) * 7          # noqa: E731
+    else:
+        weights = build_diag_slabs(ghat2)     # (2nt-1, K, wide)
+        kern = _cmux_kernel
+        w_index = lambda i: (0, 0, 0)         # noqa: E731
     kernel = functools.partial(
-        _cmux_kernel, n=n, logn=logn, k=kp1 - 1, lvl=lvl, planes=planes,
+        kern, n=n, logn=logn, k=kp1 - 1, lvl=lvl, planes=planes,
         base_log=base_log)
     return pl.pallas_call(
         kernel,
@@ -194,11 +269,10 @@ def cmux_step_pallas(acc, rot, ghat2, base_log: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((lvl, kp1, kp1, planes, 2 * nt - 1, 128, 128),
-                         lambda i: (0, 0, 0, 0, 0, 0, 0),
+            pl.BlockSpec(weights.shape, w_index,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bt, kp1, n), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(acc, rot2, tiles).reshape(orig_shape)
+    )(acc, rot2, weights).reshape(orig_shape)

@@ -101,13 +101,21 @@ class BenchmarkTimer:
         self.iters = iters
 
     def run(self, thunk) -> list:
-        for _ in range(self.warmup):
-            out = thunk()
+        """`thunk` may optionally take the iteration index — benches use it
+        to feed DISTINCT inputs per timed iteration, since repeated
+        literally-identical dispatches can be deduplicated relay-side
+        (observed 2026-08-19 on axon: an identical repeat run reported an
+        impossible rate)."""
+        import inspect
+        takes_i = len(inspect.signature(thunk).parameters) >= 1
+        call = (lambda i: thunk(i)) if takes_i else (lambda i: thunk())
+        for w in range(self.warmup):
+            out = call(w % max(self.iters, 1))
         jax.block_until_ready(out)
         samples = []
-        for _ in range(self.iters):
+        for i in range(self.iters):
             t0 = time.perf_counter()
-            out = thunk()
+            out = call(i)
             jax.block_until_ready(out)
             samples.append(time.perf_counter() - t0)
         return samples
@@ -213,9 +221,12 @@ class ComprehensiveBenchmarkRunner:
                 bsk = eng.generate_bootstrap_key(jax.random.fold_in(key, 2),
                                                  lwe_sk, glwe_sk)
             msgs = jnp.arange(batch, dtype=jnp.uint32) % 2
-            ct = eng.lwe_encrypt(jax.random.PRNGKey(3), msgs, lwe_sk)
+            cts = [eng.lwe_encrypt(jax.random.PRNGKey(100 + i), msgs, lwe_sk)
+                   for i in range(self.timer.iters)]
+            ct = cts[0]
             tp = eng.default_test_poly()
-            samples = self.timer.run(lambda: eng.bootstrap_jit(ct, bsk, tp))
+            samples = self.timer.run(
+                lambda i: eng.bootstrap_jit(cts[i], bsk, tp))
             out = eng.bootstrap_jit(ct, bsk, tp)
             if not bsk_was_cached:
                 cache.store(eng, 0, bsk)
@@ -224,12 +235,14 @@ class ComprehensiveBenchmarkRunner:
             self._record(
                 "bootstrap", f"pbs_n{p.n_lwe}_N{p.poly_degree}_{tag}",
                 "tpu-mxu", batch, samples, batch, correct, batch=batch)
-            if production and p.poly_degree % 128 == 0:
-                # fused Pallas CMux backend — consumes the same ggsw_i8
-                # BSK form, so the cached key drops in unchanged
+            if production and p.poly_degree % 128 == 0 \
+                    and jax.default_backend() != "cpu":
+                # fused Pallas CMux backend (the production default on
+                # TPU) — consumes the same ggsw_i8 BSK form, so the
+                # cached key drops in unchanged
                 eng_pl = TfheEngine(p, ext_backend="pallas")
                 samples = self.timer.run(
-                    lambda e=eng_pl: e.bootstrap_jit(ct, bsk, tp))
+                    lambda i, e=eng_pl: e.bootstrap_jit(cts[i], bsk, tp))
                 out = eng_pl.bootstrap_jit(ct, bsk, tp)
                 dec = np.asarray(eng_pl.lwe_decrypt(out, lwe_sk))
                 correct = bool(np.array_equal(dec, np.asarray(msgs)))
@@ -450,13 +463,46 @@ class ComprehensiveBenchmarkRunner:
     def export_json(self) -> str:
         return json.dumps([asdict(r) for r in self.results], indent=2)
 
+    def export_html(self) -> str:
+        """Self-contained HTML report (the reference exports CSV/JSON/HTML,
+        comprehensive_benchmark.h:237-247; this is the HTML leg)."""
+        rows = []
+        for r in self.results:
+            cls = "ok" if r.correct else "bad"
+            rows.append(
+                f"<tr class='{cls}'><td>{r.suite}</td><td>{r.name}</td>"
+                f"<td>{r.backend}</td><td>{r.size}</td><td>{r.batch}</td>"
+                f"<td>{r.mean_us:.2f}</td><td>{r.stddev_us:.2f}</td>"
+                f"<td>{r.throughput_ops_s:,.1f}</td>"
+                f"<td>{r.speedup_vs_baseline:.2f}</td>"
+                f"<td>{r.correct}</td></tr>")
+        dev = jax.devices()[0]
+        return (
+            "<!doctype html><html><head><meta charset='utf-8'>"
+            "<title>node-fhe-accelerate-tpu benchmarks</title><style>"
+            "body{font-family:system-ui;margin:2rem}"
+            "table{border-collapse:collapse}td,th{border:1px solid #ccc;"
+            "padding:4px 8px;text-align:right}th{background:#eee}"
+            "td:nth-child(-n+3){text-align:left}"
+            "tr.bad{background:#fdd}</style></head><body>"
+            f"<h1>Benchmark report</h1><p>device: {dev.device_kind} "
+            f"({dev.platform})</p><table><tr><th>suite</th><th>name</th>"
+            "<th>backend</th><th>size</th><th>batch</th><th>mean µs</th>"
+            "<th>stddev µs</th><th>ops/s</th><th>vs baseline</th>"
+            "<th>correct</th></tr>" + "".join(rows) +
+            "</table></body></html>")
+
 
 def main():
     import os
     import sys
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(repo, ".xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     outdir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), "benchmark_results")
+        repo, "benchmark_results")
     runner = ComprehensiveBenchmarkRunner()
     runner.run_full_suite()
     os.makedirs(outdir, exist_ok=True)
@@ -465,6 +511,8 @@ def main():
             f.write(text)
     with open(os.path.join(outdir, "benchmark_results.json"), "w") as f:
         f.write(runner.export_json())
+    with open(os.path.join(outdir, "benchmark_report.html"), "w") as f:
+        f.write(runner.export_html())
     for r in runner.results:
         print(f"{r.suite:10s} {r.name:28s} {r.throughput_ops_s:14,.1f} ops/s"
               f"  x{r.speedup_vs_baseline:8.2f}  correct={r.correct}")

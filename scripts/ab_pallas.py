@@ -47,43 +47,52 @@ if bsk is None:
 tp = eng.default_test_poly()
 
 results = []
-for batch in (2048, 4096):
+ITERS = 4
+for batch in (4096,):
     msgs = jnp.arange(batch, dtype=jnp.uint32) % 2
-    ct = eng.lwe_encrypt(jax.random.PRNGKey(3), msgs, lwe_sk)
+    # DISTINCT ciphertext batch per timed iteration: identical repeated
+    # dispatches can be served from a relay-side cache (observed 2026-08-19:
+    # a repeat run returned 17M bootstraps/s on literally-identical args).
+    cts = [eng.lwe_encrypt(jax.random.PRNGKey(100 + i), msgs, lwe_sk)
+           for i in range(ITERS)]
+    ct = cts[0]
 
-    configs = [("mxu", None)] + [("pallas", bb) for bb in (64, 128, 32)]
-    for backend, bb in configs:
+    configs = ([("mxu", None, None)] +
+               [("pallas", bb, v) for v in ("v2", "v1")
+                for bb in (64, 128, 32)])
+    for backend, bb, variant in configs:
         if backend == "mxu":
             e = eng
         else:
             e = TfheEngine(p, ext_backend="pallas")
             # same ggsw_i8 BSK form drops in; block_b via env-free closure
             import node_fhe_accelerate_tpu.ops.pallas_cmux as pc
-            import functools
 
             orig = pc.cmux_step_pallas
 
             def step(acc, rot, ghat2, base_log, interpret=False,
-                     block_b=bb, _orig=orig):
+                     block_b=bb, _orig=orig, _v=variant):
                 return _orig(acc, rot, ghat2, base_log,
-                             interpret=interpret, block_b=block_b)
+                             interpret=interpret, block_b=block_b,
+                             variant=_v)
             pc.cmux_step_pallas = step
         try:
             out = e.bootstrap_jit(ct, bsk, tp)      # compile + warm
             jax.block_until_ready(out.a)
             t0 = time.perf_counter()
-            iters = 3
-            for _ in range(iters):
-                out = e.bootstrap_jit(ct, bsk, tp)
-            jax.block_until_ready(out.a)
-            dt = (time.perf_counter() - t0) / iters
+            outs = [e.bootstrap_jit(c, bsk, tp) for c in cts]
+            jax.block_until_ready([o.a for o in outs])
+            dt = (time.perf_counter() - t0) / ITERS
+            out = outs[0]
             rate = batch / dt
-            row = {"backend": backend, "block_b": bb, "batch": batch,
+            row = {"backend": backend, "block_b": bb, "variant": variant,
+                   "batch": batch,
                    "bootstraps_per_s": round(rate, 1)}
             print(json.dumps(row), flush=True)
             results.append((row, out))
         except Exception as ex:  # noqa: BLE001
             print(json.dumps({"backend": backend, "block_b": bb,
+                              "variant": variant,
                               "batch": batch, "error": repr(ex)[:200]}),
                   flush=True)
         finally:
