@@ -40,7 +40,7 @@ import numpy as np
 import jax
 
 __all__ = ["BenchmarkResult", "StatisticalAnalyzer", "BenchmarkTimer",
-           "ComprehensiveBenchmarkRunner"]
+           "ComprehensiveBenchmarkRunner", "force_execution"]
 
 
 # Reference (M4 Max) throughputs from BASELINE.md, ops/sec, keyed by row
@@ -93,8 +93,28 @@ class StatisticalAnalyzer:
         return (mb - ma) / denom > z
 
 
+def force_execution(out):
+    """Force the dispatched computation to actually COMPLETE.
+
+    On the axon TPU relay `jax.block_until_ready` returns immediately
+    without waiting (measured 2026-08-19: 0.1 ms "iterations" for ~1.1 s
+    bootstrap programs); only a device->host transfer forces execution.
+    Fetch one element of the first array leaf — a few bytes, negligible
+    against any timed workload."""
+    leaves = [x for x in jax.tree_util.tree_leaves(out) if x is not None]
+    if not leaves:
+        return
+    leaf = leaves[0]
+    if getattr(leaf, "ndim", 0) > 0:
+        leaf = leaf.reshape(-1)[:1]
+    np.asarray(leaf)
+
+
 class BenchmarkTimer:
-    """Warmup + timed iterations over a jitted thunk."""
+    """Warmup + timed iterations over a jitted thunk.  Every iteration is
+    closed by `force_execution` (tiny d2h) — block_until_ready alone does
+    NOT wait on the axon relay, which is how round 2's driver benchmark
+    recorded a physically impossible rate (BENCH_r02, VERDICT.md)."""
 
     def __init__(self, warmup: int = 2, iters: int = 5):
         self.warmup = warmup
@@ -111,12 +131,12 @@ class BenchmarkTimer:
         call = (lambda i: thunk(i)) if takes_i else (lambda i: thunk())
         for w in range(self.warmup):
             out = call(w % max(self.iters, 1))
-        jax.block_until_ready(out)
+        force_execution(out)
         samples = []
         for i in range(self.iters):
             t0 = time.perf_counter()
             out = call(i)
-            jax.block_until_ready(out)
+            force_execution(out)
             samples.append(time.perf_counter() - t0)
         return samples
 

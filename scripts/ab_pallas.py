@@ -1,9 +1,16 @@
-"""Hardware A/B: XLA mxu external product vs fused Pallas CMux backend.
+"""Hardware A/B: external-product backends for the TFHE blind rotate.
 
 Run on a real TPU chip (axon):  timeout 1200 python scripts/ab_pallas.py
-Prints one line per (backend, batch, block_b) with bootstraps/s and a
-decode-correctness flag.  No device->host transfer happens before the
-timing loops (axon d2h poisoning — docs/OPERATIONS.md).
+Prints one line per (backend, variant, block_b) with bootstraps/s and a
+decode-correctness flag; appends to benchmark_results/ab_pallas_v5e.jsonl
+when invoked with --save.
+
+Timing methodology (round 3): each config times a CHAIN of bootstraps —
+iteration i+1's input IS iteration i's output — and every iteration is
+closed by an 8-byte d2h read.  `jax.block_until_ready` does NOT wait on
+the axon relay (measured 2026-08-19), and independent dispatches can be
+deduplicated relay-side; the chain + forced read defeats both.  The final
+decode check only passes if every hop computed a real bootstrap.
 """
 import json
 import sys
@@ -25,16 +32,28 @@ def _watchdog(limit=300.0):
 threading.Thread(target=_watchdog, daemon=True).start()
 
 import jax                                          # noqa: E402
-import jax.numpy as jnp                             # noqa: E402
 import numpy as np                                  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".xla_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import jax.numpy as jnp                             # noqa: E402
 
 jax.devices()
 _init.set()
-print("platform:", jax.default_backend(), flush=True)
+print("platform:", jax.default_backend(),
+      "device:", jax.devices()[0].device_kind, flush=True)
 
 from node_fhe_accelerate_tpu.core.bootstrap import (  # noqa: E402
     TfheEngine, TFHE_BOOT_128_L2)
 from node_fhe_accelerate_tpu.core.keycache import BootstrapKeyCache  # noqa: E402
+
+SAVE = "--save" in sys.argv
+ITERS = int(os.environ.get("AB_ITERS", "3"))
+BATCHES = tuple(int(b) for b in
+                os.environ.get("AB_BATCHES", "4096").split(","))
 
 p = TFHE_BOOT_128_L2()
 cache = BootstrapKeyCache()
@@ -46,28 +65,20 @@ if bsk is None:
         jax.random.fold_in(jax.random.PRNGKey(0), 2), lwe_sk, glwe_sk)
 tp = eng.default_test_poly()
 
-results = []
-ITERS = 4
-for batch in (4096,):
+rows = []
+for batch in BATCHES:
     msgs = jnp.arange(batch, dtype=jnp.uint32) % 2
-    # DISTINCT ciphertext batch per timed iteration: identical repeated
-    # dispatches can be served from a relay-side cache (observed 2026-08-19:
-    # a repeat run returned 17M bootstraps/s on literally-identical args).
-    cts = [eng.lwe_encrypt(jax.random.PRNGKey(100 + i), msgs, lwe_sk)
-           for i in range(ITERS)]
-    ct = cts[0]
+    ct0 = eng.lwe_encrypt(jax.random.PRNGKey(100), msgs, lwe_sk)
 
     configs = ([("mxu", None, None)] +
-               [("pallas", bb, v) for v in ("v2", "v1")
-                for bb in (64, 128, 32)])
+               [("pallas", bb, v) for v in ("v1", "v2")
+                for bb in (64, 128, 256)])
     for backend, bb, variant in configs:
         if backend == "mxu":
             e = eng
         else:
             e = TfheEngine(p, ext_backend="pallas")
-            # same ggsw_i8 BSK form drops in; block_b via env-free closure
             import node_fhe_accelerate_tpu.ops.pallas_cmux as pc
-
             orig = pc.cmux_step_pallas
 
             def step(acc, rot, ghat2, base_log, interpret=False,
@@ -77,37 +88,46 @@ for batch in (4096,):
                              variant=_v)
             pc.cmux_step_pallas = step
         try:
-            out = e.bootstrap_jit(ct, bsk, tp)      # compile + warm
-            jax.block_until_ready(out.a)
-            t0 = time.perf_counter()
-            outs = [e.bootstrap_jit(c, bsk, tp) for c in cts]
-            jax.block_until_ready([o.a for o in outs])
-            dt = (time.perf_counter() - t0) / ITERS
-            out = outs[0]
-            rate = batch / dt
+            ct = e.bootstrap_jit(ct0, bsk, tp)      # compile + warm
+            np.asarray(ct.b[:2])                    # force warmup execution
+            times = []
+            t_all = time.perf_counter()
+            for _ in range(ITERS):                  # chained + forced d2h
+                t0 = time.perf_counter()
+                ct = e.bootstrap_jit(ct, bsk, tp)
+                np.asarray(ct.b[:2])
+                times.append(round(time.perf_counter() - t0, 4))
+            dt = (time.perf_counter() - t_all) / ITERS
+            dec = np.asarray(e.lwe_decrypt(ct, lwe_sk))
             row = {"backend": backend, "block_b": bb, "variant": variant,
                    "batch": batch,
-                   "bootstraps_per_s": round(rate, 1)}
+                   "bootstraps_per_s": round(batch / dt, 1),
+                   "iter_s": times,
+                   "correct": bool(np.array_equal(dec, np.asarray(msgs)))}
             print(json.dumps(row), flush=True)
-            results.append((row, out))
+            rows.append(row)
         except Exception as ex:  # noqa: BLE001
             print(json.dumps({"backend": backend, "block_b": bb,
-                              "variant": variant,
-                              "batch": batch, "error": repr(ex)[:200]}),
-                  flush=True)
+                              "variant": variant, "batch": batch,
+                              "error": repr(ex)[:300]}), flush=True)
+            rows.append({"backend": backend, "block_b": bb,
+                         "variant": variant, "batch": batch,
+                         "error": repr(ex)[:300]})
         finally:
             if backend == "pallas":
                 pc.cmux_step_pallas = orig
 
-    # correctness AFTER all timing (d2h)
-    for row, out in results:
-        if row["batch"] != batch:
-            continue
-        dec = np.asarray(eng.lwe_decrypt(out, lwe_sk))
-        row["correct"] = bool(np.array_equal(dec, np.asarray(msgs)))
-        print(json.dumps(row), flush=True)
-    results = [r for r in results if r[0]["batch"] != batch]
-
 if not was_cached:
     cache.store(eng, 0, bsk)
+if SAVE:
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmark_results",
+        "ab_pallas_v5e.jsonl")
+    with open(out, "a") as f:
+        f.write(json.dumps({"ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                            "device": jax.devices()[0].device_kind,
+                            "iters": ITERS, "note":
+                            "chained+forced-d2h timing (round 3)"}) + "\n")
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
 print("done", flush=True)
