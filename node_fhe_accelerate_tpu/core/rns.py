@@ -67,7 +67,13 @@ class RnsPolyRing:
     sample and reduces it mod every prime (CRT-consistent randomness).
     """
 
-    def __init__(self, degree: int, moduli: list):
+    def __init__(self, degree: int, moduli: list, ring_factory=None):
+        """ring_factory(degree, q) -> per-prime ring; defaults to the
+        single-chip PolyRing.  Pass e.g.
+        ``lambda n, q: DistPolyRing(n, q, mesh=mesh)`` to run the whole
+        RNS stack (and CKKS on top of it) over the 4-step sharded ring —
+        coefficient planes are identical in both, so everything above is
+        oblivious to the distribution."""
         self.n = degree
         self.moduli = list(moduli)
         self.K = len(self.moduli)
@@ -77,7 +83,8 @@ class RnsPolyRing:
         # unchanged; small-integer inverses exist mod Q because every prime
         # factor is 29+ bits.
         self.q = self.Q
-        self.rings = [PolyRing(degree, q) for q in self.moduli]
+        factory = ring_factory or PolyRing
+        self.rings = [factory(degree, q) for q in self.moduli]
 
     # -- construction --------------------------------------------------------
     def zeros(self, batch=()):

@@ -22,7 +22,8 @@ import numpy as np
 __all__ = [
     "Magic", "ChecksumType", "CompressionType", "SerializationHeader",
     "serialize_polynomial", "deserialize_polynomial",
-    "serialize_blob", "deserialize_blob", "SerializationError",
+    "serialize_blob", "deserialize_blob", "quick_verify",
+    "SerializationError",
 ]
 
 SERIALIZATION_VERSION = 1
@@ -45,7 +46,7 @@ class ChecksumType(IntEnum):
 class CompressionType(IntEnum):
     NONE = 0
     ZLIB = 1
-    LZ4 = 2  # not available in this image; rejected on write
+    LZ4 = 2  # native block-format codec (native/codec.cpp nfa_lz4_*)
 
 
 class SerializationError(ValueError):
@@ -106,7 +107,11 @@ def serialize_blob(magic: Magic, payload: bytes, *, key_id=0, key_type=0,
     if compression == CompressionType.ZLIB:
         payload = zlib.compress(payload, 6)
     elif compression == CompressionType.LZ4:
-        raise SerializationError("LZ4 not available; use ZLIB or NONE")
+        # key_serializer.h:30-112 offers ZLIB or LZ4; LZ4 payloads carry an
+        # 8-byte raw-size prefix (block format has no length field)
+        from .. import native
+        payload = struct.pack("<Q", len(payload)) + \
+            native.lz4_compress(payload)
     hdr = SerializationHeader(
         magic=int(magic), key_type=key_type, key_id=key_id,
         poly_degree=poly_degree, modulus=modulus, data_size=len(payload),
@@ -138,7 +143,42 @@ def deserialize_blob(raw: bytes, expected_magic: Magic
         raise SerializationError("checksum mismatch")
     if hdr.compression == CompressionType.ZLIB:
         payload = zlib.decompress(payload)
+    elif hdr.compression == CompressionType.LZ4:
+        from .. import native
+        if len(payload) < 8:
+            raise SerializationError("truncated LZ4 payload")
+        (raw_size,) = struct.unpack("<Q", payload[:8])
+        if raw_size > (1 << 40):
+            raise SerializationError("implausible LZ4 raw size")
+        try:
+            payload = native.lz4_decompress(payload[8:], raw_size)
+        except ValueError as exc:
+            raise SerializationError(str(exc)) from exc
     return hdr, payload
+
+
+def quick_verify(raw: bytes, expected_magic: Magic | None = None
+                 ) -> SerializationHeader:
+    """Header-only integrity check — requirement 16.7's partial
+    deserialization: validates magic/version/size and the payload checksum
+    WITHOUT decompressing or decoding the payload (the checksum covers the
+    stored bytes).  Returns the parsed header; raises SerializationError
+    on any mismatch.  O(len) memory-speed CRC, no numpy/bit-unpack work."""
+    hdr = SerializationHeader.unpack(raw)
+    if expected_magic is not None and hdr.magic != int(expected_magic):
+        raise SerializationError(
+            f"invalid magic bytes: {hdr.magic:#x} != {int(expected_magic):#x}")
+    if hdr.version != SERIALIZATION_VERSION:
+        raise SerializationError(f"unsupported version {hdr.version}")
+    payload = raw[_HEADER_SIZE:_HEADER_SIZE + hdr.data_size]
+    if len(payload) != hdr.data_size:
+        raise SerializationError("truncated payload")
+    if hdr.checksum_type not in (ChecksumType.CRC32, ChecksumType.SHA256):
+        raise SerializationError(
+            f"unacceptable checksum type {hdr.checksum_type}")
+    if _checksum(payload, hdr.checksum_type) != hdr.checksum:
+        raise SerializationError("checksum mismatch")
+    return hdr
 
 
 def serialize_polynomial(coeffs: np.ndarray, magic: Magic, *, key_id=0,

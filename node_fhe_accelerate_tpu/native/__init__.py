@@ -16,7 +16,8 @@ import subprocess
 
 import numpy as np
 
-__all__ = ["crc32", "pack_words", "unpack_words", "native_available"]
+__all__ = ["crc32", "pack_words", "unpack_words", "native_available",
+           "lz4_compress", "lz4_decompress"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "codec.cpp")
@@ -46,6 +47,14 @@ def _load():
         lib.nfa_unpack_words.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
             ctypes.c_uint32, ctypes.POINTER(ctypes.c_uint64)]
+        lib.nfa_lz4_compress.restype = ctypes.c_size_t
+        lib.nfa_lz4_compress.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t]
+        lib.nfa_lz4_decompress.restype = ctypes.c_int
+        lib.nfa_lz4_decompress.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t]
         _lib = lib
     except Exception:
         _lib = False
@@ -80,6 +89,78 @@ def pack_words(words: np.ndarray, bits: int) -> bytes:
     for i, v in enumerate(w.tolist()):
         acc |= (int(v) & ((1 << bits) - 1)) << (i * bits)
     return acc.to_bytes(out_len, "little")
+
+
+def lz4_compress(data: bytes) -> bytes:
+    """LZ4 block-format compression (native codec.cpp; the pure-Python
+    fallback emits a valid literal-only block — stored, not compressed)."""
+    lib = _load()
+    if lib and data:
+        cap = len(data) + len(data) // 255 + 32
+        buf = (ctypes.c_uint8 * cap)()
+        out_n = lib.nfa_lz4_compress(data, len(data), buf, cap)
+        if out_n:
+            return bytes(buf[:out_n])
+    # literal-only fallback: one valid LZ4 sequence holding all the data
+    out = bytearray()
+    lit = len(data)
+    if lit >= 15:
+        out.append(15 << 4)
+        rest = lit - 15
+        while rest >= 255:
+            out.append(255)
+            rest -= 255
+        out.append(rest)
+    else:
+        out.append(lit << 4)
+    out += data
+    return bytes(out)
+
+
+def lz4_decompress(data: bytes, out_n: int) -> bytes:
+    lib = _load()
+    if lib:
+        buf = (ctypes.c_uint8 * max(out_n, 1))()
+        rc = lib.nfa_lz4_decompress(data, len(data), buf, out_n)
+        if rc != 0:
+            raise ValueError("malformed LZ4 block")
+        return bytes(buf[:out_n])
+    # pure-Python block decoder
+    out = bytearray()
+    ip, n = 0, len(data)
+    while ip < n:
+        token = data[ip]
+        ip += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = data[ip]
+                ip += 1
+                lit += b
+                if b != 255:
+                    break
+        out += data[ip:ip + lit]
+        ip += lit
+        if ip >= n:
+            break
+        offset = data[ip] | (data[ip + 1] << 8)
+        ip += 2
+        ml = token & 15
+        if ml == 15:
+            while True:
+                b = data[ip]
+                ip += 1
+                ml += b
+                if b != 255:
+                    break
+        ml += 4
+        if offset == 0 or offset > len(out):
+            raise ValueError("malformed LZ4 block")
+        for _ in range(ml):
+            out.append(out[-offset])
+    if len(out) != out_n:
+        raise ValueError("LZ4 size mismatch")
+    return bytes(out)
 
 
 def unpack_words(data: bytes, n: int, bits: int) -> np.ndarray:

@@ -82,4 +82,127 @@ void nfa_unpack_words(const uint8_t* in, size_t n, uint32_t bits,
     }
 }
 
+// ---------------------------------------------------------------------------
+// LZ4 block format codec (key_serializer.h:30-112 offers ZLIB or LZ4; this
+// is a from-scratch implementation of the public LZ4 block format:
+// sequences of [token][literals][2-byte offset][match], greedy hash-chain
+// matcher).  Compress returns the compressed size, or 0 when out_cap is
+// too small (caller falls back to stored/zlib).
+
+static inline uint32_t lz4_hash(uint32_t v) {
+    return (v * 2654435761u) >> 20;   // 12-bit table
+}
+
+static inline uint32_t read32(const uint8_t* p) {
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+    return v;
+}
+
+size_t nfa_lz4_compress(const uint8_t* in, size_t n, uint8_t* out,
+                        size_t out_cap) {
+    const size_t MINMATCH = 4, LASTLITERALS = 5, MFLIMIT = 12;
+    uint32_t table[1 << 12];
+    std::memset(table, 0, sizeof(table));
+    size_t ip = 0, anchor = 0, op = 0;
+
+    auto emit = [&](size_t lit_len, size_t match_len, size_t offset,
+                    const uint8_t* lit) -> bool {
+        size_t need = 1 + lit_len + lit_len / 255 + 1 +
+                      (match_len ? 2 + match_len / 255 + 1 : 0);
+        if (op + need + 8 > out_cap) return false;
+        uint8_t* tok = out + op++;
+        // literal length
+        if (lit_len >= 15) {
+            *tok = 15 << 4;
+            size_t rest = lit_len - 15;
+            while (rest >= 255) { out[op++] = 255; rest -= 255; }
+            out[op++] = (uint8_t)rest;
+        } else {
+            *tok = (uint8_t)(lit_len << 4);
+        }
+        std::memcpy(out + op, lit, lit_len);
+        op += lit_len;
+        if (match_len) {
+            out[op++] = (uint8_t)(offset & 0xFF);
+            out[op++] = (uint8_t)(offset >> 8);
+            size_t ml = match_len - MINMATCH;
+            if (ml >= 15) {
+                *tok |= 15;
+                size_t rest = ml - 15;
+                while (rest >= 255) { out[op++] = 255; rest -= 255; }
+                out[op++] = (uint8_t)rest;
+            } else {
+                *tok |= (uint8_t)ml;
+            }
+        }
+        return true;
+    };
+
+    if (n >= MFLIMIT) {
+        const size_t match_limit = n - LASTLITERALS;
+        while (ip + MFLIMIT <= n) {
+            uint32_t h = lz4_hash(read32(in + ip));
+            size_t cand = table[h];
+            table[h] = (uint32_t)ip;
+            if (ip > cand && ip - cand <= 65535 &&
+                read32(in + cand) == read32(in + ip)) {
+                size_t ml = MINMATCH;
+                while (ip + ml < match_limit && in[cand + ml] == in[ip + ml])
+                    ++ml;
+                if (!emit(ip - anchor, ml, ip - cand, in + anchor)) return 0;
+                ip += ml;
+                anchor = ip;
+            } else {
+                ++ip;
+            }
+        }
+    }
+    // trailing literals
+    if (!emit(n - anchor, 0, 0, in + anchor)) return 0;
+    return op;
+}
+
+// Returns 0 on success, -1 on malformed input / size mismatch.
+int nfa_lz4_decompress(const uint8_t* in, size_t n, uint8_t* out,
+                       size_t out_n) {
+    size_t ip = 0, op = 0;
+    while (ip < n) {
+        uint8_t token = in[ip++];
+        size_t lit = token >> 4;
+        if (lit == 15) {
+            uint8_t b;
+            do {
+                if (ip >= n) return -1;
+                b = in[ip++];
+                lit += b;
+            } while (b == 255);
+        }
+        if (ip + lit > n || op + lit > out_n) return -1;
+        std::memcpy(out + op, in + ip, lit);
+        ip += lit;
+        op += lit;
+        if (ip >= n) break;              // last sequence: literals only
+        if (ip + 2 > n) return -1;
+        size_t offset = in[ip] | ((size_t)in[ip + 1] << 8);
+        ip += 2;
+        if (offset == 0 || offset > op) return -1;
+        size_t ml = (token & 15);
+        if (ml == 15) {
+            uint8_t b;
+            do {
+                if (ip >= n) return -1;
+                b = in[ip++];
+                ml += b;
+            } while (b == 255);
+        }
+        ml += 4;
+        if (op + ml > out_n) return -1;
+        // overlapping copy must run forward byte-by-byte
+        for (size_t i = 0; i < ml; ++i, ++op)
+            out[op] = out[op - offset];
+    }
+    return op == out_n ? 0 : -1;
+}
+
 }  // extern "C"

@@ -43,7 +43,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["cmux_step_pallas", "build_diag_tiles"]
+__all__ = ["cmux_step_pallas", "cmux_step_tiles", "build_diag_tiles",
+           "build_all_step_tiles", "blind_rotate_fused"]
 
 
 def _rotate_neg(x, rot, n: int, logn: int):
@@ -178,6 +179,49 @@ def _cmux_kernel_v1(acc_ref, rot_ref, tiles_ref, out_ref, *,
         out_ref[:, jp, :] = acc[:, jp, :] + res
 
 
+def _cmux_kernel_v3(acc_ref, rot_ref, slabs_ref, out_ref, *,
+                    n: int, logn: int, k: int, lvl: int, planes: int,
+                    base_log: int):
+    """Wide-slab variant: per-(l, j, ct) int8 dots of shape
+    (bt, 128) x (128, (k+1)*P*128) against the (D, K, wide) diagonal
+    slabs — 8x fewer, 8x wider MXU issues than v1's 128-wide tiles, and
+    no lane-concat of digit slices (which v2 needed and Mosaic cannot
+    lower: 'offset mismatch on non-concat dimension')."""
+    acc = acc_ref[:]                                   # (Bt, k+1, N) u32
+    rot = rot_ref[:]                                   # (Bt, 1) i32
+    rotated = _rotate_neg(acc, rot, n, logn)
+    diff = rotated - acc
+    digits = _decompose(diff, base_log, lvl)           # [lvl](Bt, k+1, N) i8
+
+    nt = n // 128
+    bt = acc.shape[0]
+    kp1 = k + 1
+    wide = kp1 * planes * 128
+    a32 = [jnp.zeros((bt, wide), jnp.int32) for _ in range(nt)]
+    for l in range(lvl):
+        for j in range(kp1):
+            d_lj = digits[l][:, j, :]
+            row0 = (l * kp1 + j) * 128
+            for ct in range(nt):
+                x = d_lj[:, ct * 128:(ct + 1) * 128]
+                for rt in range(nt):
+                    di = rt - ct + nt - 1
+                    w = slabs_ref[di, row0:row0 + 128, :]
+                    a32[rt] = a32[rt] + jax.lax.dot_general(
+                        x, w, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+    # a32[rt] columns are (jp, p, r); recombine planes mod 2^32
+    res = []
+    for rt in range(nt):
+        blk = a32[rt].reshape(bt, kp1, planes, 128)
+        acc_p = blk[:, :, 0, :].astype(jnp.uint32)
+        for p in range(1, planes):
+            acc_p = acc_p + (blk[:, :, p, :].astype(jnp.uint32)
+                             << jnp.uint32(8 * p))
+        res.append(acc_p)                              # (bt, k+1, 128)
+    out_ref[:] = acc + jnp.concatenate(res, axis=-1)
+
+
 def _cmux_kernel(acc_ref, rot_ref, slabs_ref, out_ref, *,
                  n: int, logn: int, k: int, lvl: int, planes: int,
                  base_log: int):
@@ -214,6 +258,234 @@ def _cmux_kernel(acc_ref, rot_ref, slabs_ref, out_ref, *,
         res = res + (acc32[:, :, p, :].astype(jnp.uint32)
                      << jnp.uint32(8 * p))
     out_ref[:] = acc + res
+
+
+# ---------------------------------------------------------------------------
+# Fused whole-blind-rotate kernel (round 3)
+# ---------------------------------------------------------------------------
+#
+# One pallas_call runs ALL n_lwe CMux steps with the accumulator resident
+# in VMEM scratch: grid = (batch_tile, step, wide_chunk), the GGSW slab
+# block for (step, chunk) streams from HBM through the automatic Pallas
+# input pipeline (double-buffered), and the only HBM traffic for the
+# accumulator is one read + one write per batch tile — vs one read+write
+# PER STEP for the per-step kernel (cmux_step_pallas), i.e. ~630x less
+# accumulator traffic at the production shape.  Digits are computed once
+# per step (chunk 0) and cached in an int8 scratch for the other chunks.
+#
+# MXU shape: each dot is (block_b, 128) x (128, wide/H) — with the default
+# H=4 that is 4x wider than the per-step kernel's 128-wide dots, so the
+# systolic pipeline drains 4x less often.
+
+
+def _fused_rotate_kernel(acc_ref, rot_ref, slab_ref, out_ref,
+                         acc_s, digs, *, n: int, logn: int, k: int,
+                         lvl: int, planes: int, base_log: int,
+                         n_steps: int, chunks: int):
+    s = pl.program_id(1)
+    h = pl.program_id(2)
+    nt = n // 128
+    kp1 = k + 1
+    wide = kp1 * planes * 128
+    c_cols = wide // chunks
+    groups = c_cols // 128
+    bt = acc_ref.shape[0]
+
+    @pl.when(jnp.logical_and(s == 0, h == 0))
+    def _():
+        acc_s[:] = acc_ref[:]
+
+    @pl.when(h == 0)
+    def _():
+        acc = acc_s[:]
+        rot = rot_ref[0, 0, 0][:, None]                 # (bt, 1)
+        rotated = _rotate_neg(acc, rot, n, logn)
+        diff = rotated - acc
+        ds = _decompose(diff, base_log, lvl)            # [lvl](bt,k+1,N) i8
+        for l in range(lvl):
+            digs[l] = ds[l]
+
+    # int8 MXU dots for this wide chunk, accumulated per block-row rt.
+    # The slab's K axis is ordered (l, j, c) — row block (l, j) spans
+    # rows [(l*kp1+j)*128, +128).
+    a32 = [jnp.zeros((bt, c_cols), jnp.int32) for _ in range(nt)]
+    for l in range(lvl):
+        for j in range(kp1):
+            d_lj = digs[l][:, j, :]                     # (bt, N) i8
+            row0 = (l * kp1 + j) * 128
+            for ct in range(nt):
+                x = d_lj[:, ct * 128:(ct + 1) * 128]
+                for rt in range(nt):
+                    di = rt - ct + nt - 1
+                    w = slab_ref[0, di, row0:row0 + 128, :]
+                    a32[rt] = a32[rt] + jax.lax.dot_general(
+                        x, w, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+
+    # CMux accumulate: acc_s[:, jp, rt-block] += partial << 8p.
+    # Global column block index = h*groups + g encodes (jp, p) as
+    # blk = jp*planes + p; h is traced, so jp/p are traced scalars and the
+    # jp destination is selected by predication.
+    for rt in range(nt):
+        for g in range(groups):
+            part = a32[rt][:, g * 128:(g + 1) * 128]
+            blk = h * groups + g                        # traced int
+            jp = blk // planes
+            p = blk % planes
+            shifted = part.astype(jnp.uint32) << (jnp.uint32(8) *
+                                                  p.astype(jnp.uint32))
+            for jp_s in range(kp1):
+                @pl.when(jp == jp_s)
+                def _(jp_s=jp_s, shifted=shifted, rt=rt):
+                    acc_s[:, jp_s, rt * 128:(rt + 1) * 128] = (
+                        acc_s[:, jp_s, rt * 128:(rt + 1) * 128] + shifted)
+
+    @pl.when(jnp.logical_and(s == n_steps - 1, h == chunks - 1))
+    def _():
+        out_ref[:] = acc_s[:]
+
+
+@functools.partial(jax.jit, static_argnames=("base_log", "interpret",
+                                             "block_b", "chunks"))
+def blind_rotate_fused(acc, a_rots, ggsw_i8, base_log: int,
+                       interpret: bool = False, block_b: int = 128,
+                       chunks: int = 4):
+    """All n_lwe blind-rotate CMux steps in ONE pallas_call.
+
+    acc:     uint32 (..., k+1, N) — the X^{-b~}-rotated accumulator
+    a_rots:  int32 (n_steps, ...) rotation amounts per step
+    ggsw_i8: int8 (n_steps, lvl, k+1, k+1, P, 2N) BSK digit planes
+             (the same form the mxu/per-step-pallas backends consume)
+
+    The GGSW slabs for all steps are materialized in HBM inside this jit
+    (~5 GB at the production shape, ~12 ms of HBM writes per call) and
+    streamed chunk-by-chunk through the pipeline; the accumulator lives in
+    VMEM scratch across every step.
+    """
+    lead = acc.shape[:-2]
+    kp1, n = acc.shape[-2:]
+    orig_shape = acc.shape
+    acc = acc.reshape((-1, kp1, n))
+    B = acc.shape[0]
+    n_steps, lvl, _, _, planes, two_n = ggsw_i8.shape
+    assert two_n == 2 * n
+    logn = n.bit_length() - 1
+    nt = n // 128
+    d = 2 * nt - 1
+    K = lvl * kp1 * 128
+    wide = kp1 * planes * 128
+    assert wide % (128 * chunks) == 0
+    c_cols = wide // chunks
+    bt = B
+    for cand in range(min(block_b, B), 0, -1):
+        if B % cand == 0:
+            bt = cand
+            break
+
+    rots = jnp.broadcast_to(jnp.asarray(a_rots, jnp.int32),
+                            (n_steps,) + lead).reshape(n_steps, B)
+
+    # (n_steps, D, K, wide) int8 slabs — one Toeplitz block-diagonal slab
+    # set per step.  Sequential lax.map, NOT vmap: the log-doubling's
+    # intermediate concat stages are ~2x the output, and vmapping over all
+    # 630 steps would materialize ~10 GB of intermediates next to the
+    # ~5 GB output; lax.map keeps the peak at output + one step.
+    ghat2 = jnp.concatenate([ggsw_i8, ggsw_i8], axis=-1)
+    slabs = jax.lax.map(build_diag_slabs, ghat2)
+
+    kernel = functools.partial(
+        _fused_rotate_kernel, n=n, logn=logn, k=kp1 - 1, lvl=lvl,
+        planes=planes, base_log=base_log, n_steps=n_steps, chunks=chunks)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(acc.shape, acc.dtype),
+        grid=(B // bt, n_steps, chunks),
+        in_specs=[
+            pl.BlockSpec((bt, kp1, n), lambda i, s, h: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # 4D (steps, tiles, 1, bt) so the block's trailing dims equal
+            # the full array dims (TPU block-shape constraint)
+            pl.BlockSpec((1, 1, 1, bt), lambda i, s, h: (s, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, K, c_cols), lambda i, s, h: (s, 0, 0, h),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, kp1, n), lambda i, s, h: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((bt, kp1, n), jnp.uint32),
+            pltpu.VMEM((lvl, bt, kp1, n), jnp.int8),
+        ],
+        input_output_aliases={0: 0},
+        # The double-buffered slab pipeline + scratch exceeds Mosaic's
+        # conservative 16 MB scoped-vmem default at the production shape;
+        # v5e/v5p have 128 MB of physical VMEM per core.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(acc, rots.reshape(n_steps, B // bt, 1, bt), slabs).reshape(orig_shape)
+
+
+@functools.partial(jax.jit, static_argnames=("base_log", "interpret",
+                                             "block_b"))
+def cmux_step_tiles(acc, rot, tiles, base_log: int,
+                    interpret: bool = False, block_b: int = 64):
+    """One fused CMux step against PRECOMPUTED diagonal tiles.
+
+    tiles: int8 (lvl, k+1, k+1, P, 2*nt-1, 128, 128) from build_diag_tiles
+    — e.g. a per-step slice of TfheEngine.prepare_bsk's all-steps tensor.
+    Precomputing moves the Toeplitz expansion OFF the blind-rotate critical
+    path: the per-call expansion costs ~1.9 ms/step in XLA (measured v5e,
+    2026-08-19) vs the ~0.9 ms/step kernel — i.e. it was HALF of every
+    bootstrap."""
+    lead = acc.shape[:-2]
+    kp1, n = acc.shape[-2:]
+    orig_shape = acc.shape
+    acc = acc.reshape((-1, kp1, n))
+    B = acc.shape[0]
+    lvl, _, _, planes, d, _, _ = tiles.shape
+    logn = n.bit_length() - 1
+    bt = B
+    for cand in range(min(block_b, B), 0, -1):
+        if B % cand == 0:
+            bt = cand
+            break
+    rot2 = jnp.broadcast_to(jnp.asarray(rot, jnp.int32),
+                            lead).reshape(B, 1)
+    kernel = functools.partial(
+        _cmux_kernel_v1, n=n, logn=logn, k=kp1 - 1, lvl=lvl, planes=planes,
+        base_log=base_log)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(acc.shape, acc.dtype),
+        grid=(B // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, kp1, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tiles.shape, lambda i: (0,) * 7,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, kp1, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(acc, rot2, tiles).reshape(orig_shape)
+
+
+def build_all_step_tiles(ggsw_i8):
+    """Precompute diagonal Toeplitz tiles for EVERY blind-rotate step.
+
+    ggsw_i8: int8 (n_steps, lvl, k+1, k+1, P, 2N) — the BSK's MXU form.
+    Returns int8 (n_steps, lvl, k+1, k+1, P, 2*nt-1, 128, 128), ~4.7 GB at
+    the production shape, held in HBM for the life of the key.  Sequential
+    lax.map keeps peak memory at output + one step's doubling intermediates.
+    """
+    def one(g):
+        return build_diag_tiles(jnp.concatenate([g, g], axis=-1))
+    return jax.lax.map(one, ggsw_i8)
 
 
 @functools.partial(jax.jit, static_argnames=("base_log", "interpret",
@@ -253,6 +525,10 @@ def cmux_step_pallas(acc, rot, ghat2, base_log: int,
         weights = build_diag_tiles(ghat2)
         kern = _cmux_kernel_v1
         w_index = lambda i: (0,) * 7          # noqa: E731
+    elif variant == "v3":
+        weights = build_diag_slabs(ghat2)     # (2nt-1, K, wide)
+        kern = _cmux_kernel_v3
+        w_index = lambda i: (0, 0, 0)         # noqa: E731
     else:
         weights = build_diag_slabs(ghat2)     # (2nt-1, K, wide)
         kern = _cmux_kernel
@@ -274,5 +550,9 @@ def cmux_step_pallas(acc, rot, ghat2, base_log: int,
         ],
         out_specs=pl.BlockSpec((bt, kp1, n), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        # Mosaic's 16 MB scoped-vmem default spills at block_b >= 128
+        # (weights 7.5-7.9 MB + acc/out/temporaries); the chip has 128 MB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(acc, rot2, weights).reshape(orig_shape)

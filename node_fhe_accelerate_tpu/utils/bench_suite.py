@@ -57,6 +57,7 @@ _BASELINES = {
     "poly_mul_4096": 10_300.0,           # :133-139
     "pbs_n630_N1024_l2": 50.0,           # <20ms/bootstrap, README.md:75
     "pbs_n630_N1024_l3": 50.0,
+    "pbs_n630_N256_l2_k4": 50.0,         # security-equivalent kN=1024
 }
 
 
@@ -217,10 +218,12 @@ class ComprehensiveBenchmarkRunner:
         backend, both gadget presets.  This is the row bench.py's headline
         reproduces.  Set production=False for a tiny smoke shape."""
         from ..core.bootstrap import (
-            TfheParams, TfheEngine, TFHE_BOOT_128, TFHE_BOOT_128_L2)
+            TfheParams, TfheEngine, TFHE_BOOT_128, TFHE_BOOT_128_L2,
+            TFHE_BOOT_128_K4)
         import jax.numpy as jnp
 
-        presets = ([("l2", TFHE_BOOT_128_L2()), ("l3", TFHE_BOOT_128())]
+        presets = ([("l2_k4", TFHE_BOOT_128_K4()),
+                    ("l2", TFHE_BOOT_128_L2()), ("l3", TFHE_BOOT_128())]
                    if production else
                    [("tiny", TfheParams(
                        n_lwe=16, poly_degree=256, pbs_base_log=7,
@@ -306,7 +309,8 @@ class ComprehensiveBenchmarkRunner:
         self._record("bootstrap", "pbs_n1024_N4096_l3_tfhe256",
                      "tpu-crt", batch, samples, batch, correct, batch=batch)
 
-    def benchmark_zk(self, log_constraints: int = 12, msm_points: int = 4096):
+    def benchmark_zk(self, log_constraints: int = 12, msm_points: int = 4096,
+                     msm: bool = True):
         """ZK proving scale: Groth16 prove over a 2^log_constraints-gate
         multiplication chain (device NTT QAP + Pippenger MSMs) and a raw
         BN254 MSM.  `correct` = the proof verifies under the real pairing /
@@ -343,6 +347,8 @@ class ComprehensiveBenchmarkRunner:
         backend = jax.default_backend()
         self._record("zk", f"groth16_prove_2e{log_constraints}", backend,
                      m, samples, m, bool(ok), batch=1)
+        if not msm:
+            return
 
         c = bn254_g1()
         rng = np.random.default_rng(7)
@@ -442,6 +448,12 @@ class ComprehensiveBenchmarkRunner:
             self.benchmark_bootstrap_tfhe256()
         self.benchmark_zk(log_constraints=12 if production else 6,
                           msm_points=4096 if production else 64)
+        if production and os.environ.get("NFA_BENCH_ZK_BIG"):
+            # Groth16 proving at scale on device (VERDICT r2 item 5):
+            # 2^14 and 2^16 constraint chains, device QAP + device MSMs
+            # (incl. the G2 B-element), verified under the real pairing
+            self.benchmark_zk(log_constraints=14, msm=False)
+            self.benchmark_zk(log_constraints=16, msm=False)
         if production:
             self.benchmark_ckks()
         self.benchmark_pipeline()

@@ -5,16 +5,33 @@ Twin of the reference's `adaptive_dispatcher`
 from its benchmark suite (Barrett-unrolled modmul, Montgomery NTT); here the
 dispatcher *measures* registered implementations per (op, shape-class) on
 the live backend once, caches the winner, and routes subsequent calls.
+
+Production call sites (round 3, VERDICT item 7):
+
+* `TfheEngine(ext_backend="auto")` on TPU routes `bootstrap_jit` through a
+  dispatcher over the {per-step pallas, XLA mxu, fused pallas} external
+  product backends — per batch shape, measured once, cached; a backend
+  that fails to compile simply loses the race (core/bootstrap.py).
+* `Curve.msm` (zk/curve.py) resolves the device Pippenger-vs-windowed
+  ladder crossover by measurement inside the ambiguous size band instead
+  of the former hard `min_pippenger=128` threshold.
+
+Timing honesty (same rules as bench.py): `jax.block_until_ready` does NOT
+wait on the axon relay, so every sample is closed with a tiny
+device->host read; and repeated identical dispatches can be deduplicated
+relay-side, so each timed iteration perturbs the first integer array leaf
+(the values are discarded — only the winner matters).
 """
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
-from typing import Any, Callable
+from dataclasses import dataclass
+from typing import Callable
 
 import jax
+import jax.numpy as jnp
 
-__all__ = ["AdaptiveDispatcher", "Candidate"]
+__all__ = ["AdaptiveDispatcher", "Candidate", "global_dispatcher"]
 
 
 @dataclass
@@ -31,6 +48,27 @@ class _Selection:
     timings: dict
 
 
+def _force(out):
+    """Force execution (tiny d2h) — see utils/bench_suite.force_execution."""
+    from .bench_suite import force_execution
+    force_execution(out)
+
+
+def _perturb(args, i: int):
+    """Vary the first integer-array leaf by iteration index so repeated
+    timing dispatches are not literally identical (relay-side dedup)."""
+    if i == 0:
+        return args
+    leaves, treedef = jax.tree_util.tree_flatten(args)
+    for k, leaf in enumerate(leaves):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype,
+                                                     jnp.integer):
+            leaves = list(leaves)
+            leaves[k] = leaf ^ jnp.asarray(i, leaf.dtype)
+            return jax.tree_util.tree_unflatten(treedef, leaves)
+    return args
+
+
 class AdaptiveDispatcher:
     """Measure-once-per-shape-class dispatch
     (adaptive_dispatcher.h:34-70)."""
@@ -45,13 +83,14 @@ class AdaptiveDispatcher:
         self._candidates.setdefault(op, []).append(Candidate(name, fn))
 
     def _shape_class(self, args) -> tuple:
-        def one(x):
-            if hasattr(x, "shape"):
-                return tuple(x.shape) + (str(getattr(x, "dtype", "")),)
-            if isinstance(x, (tuple, list)):
-                return tuple(one(e) for e in x)
-            return type(x).__name__
-        return tuple(one(a) for a in args)
+        out = []
+        for leaf in jax.tree_util.tree_leaves(args):
+            if hasattr(leaf, "shape"):
+                out.append(tuple(leaf.shape)
+                           + (str(getattr(leaf, "dtype", "")),))
+            else:
+                out.append(type(leaf).__name__)
+        return tuple(out)
 
     def dispatch(self, op: str, *args):
         cands = self._candidates.get(op)
@@ -64,6 +103,16 @@ class AdaptiveDispatcher:
             self._cache[key] = sel
         return sel.fn(*args)
 
+    def selection_for(self, op: str, *args) -> str:
+        """Winner name for these args (measuring on first use)."""
+        cands = self._candidates.get(op)
+        key = (op, self._shape_class(args))
+        sel = self._cache.get(key)
+        if sel is None:
+            sel = self._select(cands, args)
+            self._cache[key] = sel
+        return sel.name
+
     def _select(self, cands, args) -> _Selection:
         timings = {}
         best = None
@@ -71,16 +120,16 @@ class AdaptiveDispatcher:
             try:
                 for _ in range(self.warmup):
                     out = cand.fn(*args)
-                jax.block_until_ready(out)
+                _force(out)
                 t0 = time.perf_counter()
-                for _ in range(self.iters):
-                    out = cand.fn(*args)
-                jax.block_until_ready(out)
+                for i in range(self.iters):
+                    out = cand.fn(*_perturb(args, i))
+                    _force(out)
                 dt = (time.perf_counter() - t0) / self.iters
                 timings[cand.name] = dt
                 if best is None or dt < timings[best.name]:
                     best = cand
-            except Exception as e:  # candidate unsupported on this backend
+            except Exception:  # candidate unsupported on this backend
                 timings[cand.name] = float("inf")
         if best is None:
             raise RuntimeError("no dispatch candidate succeeded")
@@ -91,3 +140,14 @@ class AdaptiveDispatcher:
         defaults table, made explicit)."""
         return {k: {"winner": v.name, "timings": dict(v.timings)}
                 for k, v in self._cache.items()}
+
+
+_GLOBAL: AdaptiveDispatcher | None = None
+
+
+def global_dispatcher() -> AdaptiveDispatcher:
+    """Process-wide dispatcher shared by the production call sites."""
+    global _GLOBAL
+    if _GLOBAL is None:
+        _GLOBAL = AdaptiveDispatcher()
+    return _GLOBAL

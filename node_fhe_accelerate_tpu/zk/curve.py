@@ -558,13 +558,34 @@ class Curve:
             points = (jnp.concatenate([points[0], inf[0]]),
                       jnp.concatenate([points[1], inf[1]]),
                       jnp.concatenate([points[2], inf[2]]))
-        if scalar_limbs.shape[0] >= min_pippenger:
-            jit_pip = getattr(self, "_jit_pippenger", None)
-            if jit_pip is None:
-                jit_pip = jax.jit(self._msm_pippenger_impl,
-                                  static_argnames=("c",))
-                self._jit_pippenger = jit_pip
+        n_pad = scalar_limbs.shape[0]
+        jit_pip = getattr(self, "_jit_pippenger", None)
+        if jit_pip is None:
+            jit_pip = jax.jit(self._msm_pippenger_impl,
+                              static_argnames=("c",))
+            self._jit_pippenger = jit_pip
+        # The Pippenger-vs-ladder crossover is resolved by MEASUREMENT
+        # inside the ambiguous band (utils/dispatch.py; the reference
+        # bakes winners in, adaptive_dispatcher.h:34-70).  Outside the
+        # band the winner is unambiguous; under a jit trace timing is
+        # impossible, so the static min_pippenger threshold applies.
+        traced = isinstance(scalar_limbs, jax.core.Tracer)
+        if not traced and 32 <= n_pad <= 1024:
+            from ..utils.dispatch import global_dispatcher
+            disp = global_dispatcher()
+            op = f"msm_{self.fq.q % 100003}_{id(self)}"
+            if op not in disp._candidates:
+                disp.register(op, "pippenger",
+                              lambda s, p_: self._jit_pippenger(s, p_))
+                disp.register(op, "ladder",
+                              lambda s, p_: self._msm_ladder(s, p_))
+            return disp.dispatch(op, scalar_limbs, points)
+        if n_pad >= min_pippenger:
             return jit_pip(scalar_limbs, points)
+        return self._msm_ladder(scalar_limbs, points)
+
+    def _msm_ladder(self, scalar_limbs, points):
+        """Small-batch MSM: per-point windowed ladders + tree reduction."""
         acc = self.scalar_mul(scalar_limbs, points)   # (B, ...) points
         X, Y, Z = acc
         while X.shape[0] > 1:

@@ -70,12 +70,31 @@ for batch in BATCHES:
     msgs = jnp.arange(batch, dtype=jnp.uint32) % 2
     ct0 = eng.lwe_encrypt(jax.random.PRNGKey(100), msgs, lwe_sk)
 
-    configs = ([("mxu", None, None)] +
-               [("pallas", bb, v) for v in ("v1", "v2")
-                for bb in (64, 128, 256)])
+    default_cfg = ("mxu,pallas:64:v1,"
+                   "fused:64:2,fused:128:2,fused:128:4,fused:256:4,"
+                   "fused:128:8")
+    cfg_env = os.environ.get("AB_CONFIGS", default_cfg)
+    configs = []
+    for tok in cfg_env.split(","):
+        parts = tok.split(":")
+        configs.append((parts[0],
+                        int(parts[1]) if len(parts) > 1 else None,
+                        parts[2] if len(parts) > 2 else None))
     for backend, bb, variant in configs:
         if backend == "mxu":
             e = eng
+        elif backend == "fused":
+            e = TfheEngine(p, ext_backend="pallas_fused")
+            import node_fhe_accelerate_tpu.ops.pallas_cmux as pc
+            orig = pc.blind_rotate_fused
+
+            def rot(acc, a_rots, g, base_log, interpret=False,
+                    block_b=bb, chunks=int(variant), _orig=orig):
+                return _orig(acc, a_rots, g, base_log, interpret=interpret,
+                             block_b=block_b, chunks=chunks)
+            pc.blind_rotate_fused = rot
+            # the engine binds the module function at call time via the
+            # local import in blind_rotate, so the patch takes effect
         else:
             e = TfheEngine(p, ext_backend="pallas")
             import node_fhe_accelerate_tpu.ops.pallas_cmux as pc
@@ -116,6 +135,8 @@ for batch in BATCHES:
         finally:
             if backend == "pallas":
                 pc.cmux_step_pallas = orig
+            elif backend == "fused":
+                pc.blind_rotate_fused = orig
 
 if not was_cached:
     cache.store(eng, 0, bsk)

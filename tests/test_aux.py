@@ -173,6 +173,7 @@ def eng_pk_for(eng, tk):
 
 
 class TestSpeculativePBS:
+    @pytest.mark.slow
     def test_multi_lut_and_select(self):
         p = TfheParams(n_lwe=8, poly_degree=64, glwe_dim=1,
                        pbs_base_log=7, pbs_level=3, ks_base_log=4,

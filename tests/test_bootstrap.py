@@ -140,6 +140,7 @@ def _ggsw_row(eng, bsk, i):
     return (bsk.ggsw_ext[0][i], bsk.ggsw_ext[1][i])
 
 
+@pytest.mark.slow
 def test_external_product_backends_bit_exact():
     """The int8 MXU Toeplitz contraction and the Montgomery-NTT external
     product compute the same exact integer algebra — results must be
@@ -237,6 +238,7 @@ def test_bootstrap_level2_gadget():
     np.testing.assert_array_equal(dec, np.asarray(msgs))
 
 
+@pytest.mark.slow
 def test_bootstrap_tfhe256_geometry():
     """PBS at the TFHE_256_SECURE polynomial geometry (N=4096, l=3 — the
     largest preset ring; VERDICT round-1 weak #6: 'untested at TFHE_256
@@ -260,6 +262,7 @@ def test_bootstrap_tfhe256_geometry():
     np.testing.assert_array_equal(dec, np.asarray(msgs))
 
 
+@pytest.mark.slow
 def test_crt_backend_bit_exact_and_tfhe256_gadget():
     """The dual-prime CRT external product agrees with the single-prime
     backend bit-for-bit where both are valid, and handles the TFHE_256

@@ -23,6 +23,7 @@ def setup():
     return curve, gens, prover, verifier
 
 
+@pytest.mark.slow
 def test_range_proof_roundtrip(setup):
     curve, gens, prover, verifier = setup
     value, blinding = 12, prover.random_scalar()
@@ -72,6 +73,7 @@ def test_tampered_ipa_rejected(setup):
     assert not verifier.verify_range(com, proof, N_BITS, gens)
 
 
+@pytest.mark.slow
 def test_aggregated_range_proof_roundtrip(setup):
     """m=4 values in one proof (reference: aggregated bulletproofs.cpp
     path + BallotValidityProof, bulletproofs.h:199)."""

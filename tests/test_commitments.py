@@ -62,12 +62,14 @@ class TestFRI:
         proof = fri.prove(coeffs)
         assert fri.verify(proof)
 
+    @pytest.mark.slow
     def test_tampered_final_poly_rejected(self):
         fri = FRIScheme(FRIConfig(domain_log=5, num_queries=6))
         proof = fri.prove([3, 1, 4, 1, 5, 9, 2, 6])
         proof.final_poly[0] = (proof.final_poly[0] + 1) % fri.r
         assert not fri.verify(proof)
 
+    @pytest.mark.slow
     def test_tampered_query_value_rejected(self):
         fri = FRIScheme(FRIConfig(domain_log=5, num_queries=4))
         proof = fri.prove([1, 2, 3, 4])

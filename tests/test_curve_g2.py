@@ -94,6 +94,7 @@ def test_g2_device_add_double_match_oracle(g2):
     assert bool(np.asarray(g2.is_infinity(inf)))
 
 
+@pytest.mark.slow
 def test_g2_device_scalar_mul_matches_oracle(g2):
     # 2-limb (64-bit) scalars keep the XLA:CPU compile of the windowed
     # ladder tolerable; the loop body is width-independent.
@@ -118,6 +119,7 @@ def test_g2_msm_host_matches_oracle(g2):
                                host[2][None]))[0] == want
 
 
+@pytest.mark.slow
 def test_g2_msm_device_pippenger_matches_oracle(g2):
     """Device sort/prefix-scan Pippenger over Fq2 == host FQ2 Pippenger.
 
@@ -172,6 +174,7 @@ def test_groth16_b_device_formula_matches_host():
     assert got == want
 
 
+@pytest.mark.slow
 def test_bls12_381_g2_device_ops_match_oracle():
     from node_fhe_accelerate_tpu.zk.curve_g2 import bls12_381_g2
     from node_fhe_accelerate_tpu.zk import pairing_bls as prb

@@ -164,6 +164,7 @@ def test_dist_poly_ring_matches_single_chip():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_encryption_engine_over_dist_ring():
     """core/ CONSUMES the distributed ring: EncryptionEngine runs keygen,
     public-key encrypt, a homomorphic tally, and decrypt entirely over a
@@ -215,3 +216,69 @@ def test_encryption_engine_over_dist_ring():
     vals = eng.decode(ph, 2)
     assert vals.tolist() == [3, sum(range(3))]
     assert eng.noise_budget(ph) > 5
+
+
+@pytest.mark.slow
+def test_dist_poly_ring_at_ckks_degree_n16384():
+    """DistPolyRing bit-exact vs the single-chip ring at N=16384 — the
+    CKKS_128_ML degree (parameter_set.cpp:226-259) — on the 8-device mesh
+    (VERDICT r2 item 8, first half)."""
+    from node_fhe_accelerate_tpu.parallel.dist_ring import DistPolyRing
+    from node_fhe_accelerate_tpu.parallel.mesh import make_mesh as mk
+
+    n, q = 16384, Primes.Q_60_1
+    mesh = mk(8, data=8)
+    ring = DistPolyRing(n, q, mesh=mesh)
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, q, (1, n), dtype=np.uint64)
+    b = rng.integers(0, q, (1, n), dtype=np.uint64)
+    got = ring.to_np(ring.multiply(ring.from_np(a), ring.from_np(b)))
+    single = NTTContext(n, q)
+    want = u64_to_np(jax.jit(single.negacyclic_mul)(
+        u64_from_np(a), u64_from_np(b)))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_ckks_leveled_multiply_over_dist_ring():
+    """One leveled CKKS multiply (relin + exact rescale) at the CKKS_128_ML
+    chain with EVERY per-prime ring distributed over the 8-device mesh
+    (VERDICT r2 item 8, second half).  Precision checked elementwise, and
+    the c0 planes are asserted bit-identical to the single-chip engine."""
+    from node_fhe_accelerate_tpu.core.params import CKKS_128_ML
+    from node_fhe_accelerate_tpu.core.ckks import CkksEngine
+    from node_fhe_accelerate_tpu.parallel.dist_ring import DistPolyRing
+    from node_fhe_accelerate_tpu.parallel.mesh import make_mesh as mk
+
+    params = CKKS_128_ML()
+    mesh = mk(8, data=8)
+    eng = CkksEngine(params,
+                     ring_factory=lambda n, q: DistPolyRing(n, q, mesh=mesh))
+    key = jax.random.PRNGKey(0)
+    sk = eng.generate_secret_key(jax.random.fold_in(key, 0))
+    pk = eng.generate_public_key(jax.random.fold_in(key, 1), sk)
+    rlk = eng.generate_relin_keys(jax.random.fold_in(key, 2), sk)
+    n_slots = 64      # decode a prefix; the ring still runs at N=16384
+    rng = np.random.default_rng(5)
+    va = np.zeros(params.poly_degree // 2)
+    vb = np.zeros(params.poly_degree // 2)
+    va[:n_slots] = rng.uniform(-1, 1, n_slots)
+    vb[:n_slots] = rng.uniform(-1, 1, n_slots)
+    ca = eng.encrypt(jax.random.fold_in(key, 3), va, pk)
+    cb = eng.encrypt(jax.random.fold_in(key, 4), vb, pk)
+    out = eng.multiply_relin_rescale(ca, cb, rlk)
+    got = eng.decrypt(out, sk)
+    assert np.max(np.abs(np.real(got[:n_slots]) - va[:n_slots] * vb[:n_slots])) < 1e-3
+
+    # bit-exactness vs the single-chip engine under identical randomness
+    eng1 = CkksEngine(params)
+    sk1 = eng1.generate_secret_key(jax.random.fold_in(key, 0))
+    pk1 = eng1.generate_public_key(jax.random.fold_in(key, 1), sk1)
+    rlk1 = eng1.generate_relin_keys(jax.random.fold_in(key, 2), sk1)
+    ca1 = eng1.encrypt(jax.random.fold_in(key, 3), va, pk1)
+    cb1 = eng1.encrypt(jax.random.fold_in(key, 4), vb, pk1)
+    out1 = eng1.multiply_relin_rescale(ca1, cb1, rlk1)
+    for p_dist, p_single in zip(out.c0, out1.c0):
+        np.testing.assert_array_equal(
+            np.stack([np.asarray(x) for x in p_dist]),
+            np.stack([np.asarray(x) for x in p_single]))

@@ -1,5 +1,6 @@
 """Multi-chip collectives on the 8-virtual-device CPU mesh."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
@@ -124,6 +125,7 @@ class TestMultihost:
             np.testing.assert_array_equal(got[d], want)
 
 
+@pytest.mark.slow
 def test_sharded_msm_matches_host_oracle():
     """Points sharded over the 8-device mesh, per-device Pippenger, log-K
     Jacobian combine == host big-int Pippenger (VERDICT round-1 weak #4:

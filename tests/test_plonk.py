@@ -46,6 +46,33 @@ def test_tampered_eval_rejected(mult_setup):
     assert not verifier.verify(setup, [42], proof)
 
 
+def test_proof_size_and_two_pairings(mult_setup):
+    """VERDICT item 4 'done' criteria: proof <= ~1KB, verify = exactly one
+    pairing_check call over exactly 2 pairs (plonk.cpp:693-720's batched
+    shape; the reference itself never ran a real pairing)."""
+    c, setup, prover, verifier, (z, x, y, xy) = mult_setup
+    proof = prover.prove(setup, {z: 42, x: 6, y: 7, xy: 42}, [42])
+    assert set(proof.commits) == {"a", "b", "c", "z", "t_lo", "t_mid",
+                                  "t_hi", "w_z", "w_zw"}
+    assert set(proof.evals) == {"a", "b", "c", "s1", "s2", "z_w"}
+    size = 64 * len(proof.commits) + 32 * len(proof.evals)
+    assert size <= 1024, size       # 768 B uncompressed
+
+    calls = []
+    real = verifier.scheme.pm.pairing_check
+
+    def spy(pairs):
+        calls.append(len(pairs))
+        return real(pairs)
+
+    verifier.scheme.pm.pairing_check = spy
+    try:
+        assert verifier.verify(setup, [42], proof)
+    finally:
+        verifier.scheme.pm.pairing_check = real
+    assert calls == [2]
+
+
 def test_tally_correctness_circuit():
     circuit, ballots, total = tally_correctness_circuit(3)
     prover = PlonkProver()

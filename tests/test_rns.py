@@ -110,6 +110,7 @@ class TestRnsEngine:
         assert eng.decode(eng.phase(eng.add_plain(a, [1, 2]), sk),
                           2).tolist() == [8, 5]
 
+    @pytest.mark.slow
     def test_noisy_multiply_relin_round_trip(self, eng_keys):
         """The BASELINE bit-exact-parity target: noisy encrypt -> mul ->
         relin -> decrypt over the full RNS chain."""
@@ -173,6 +174,7 @@ class TestRnsApi:
         assert isinstance(fhe.engine, RnsEncryptionEngine)
         assert fhe.ring.K == 3
 
+    @pytest.mark.slow
     def test_api_round_trip_and_relin(self, fhe):
         sk = fhe.generate_secret_key()
         pk = fhe.generate_public_key(sk)

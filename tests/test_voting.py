@@ -72,6 +72,7 @@ class TestElection:
         assert alerts == []
 
 
+@pytest.mark.slow
 def test_full_zk_ballot_flow():
     """One ballot with a real Bulletproofs validity proof."""
     VotingSystem.RANGE_BITS = 4
@@ -88,6 +89,7 @@ def test_full_zk_ballot_flow():
         VotingSystem.RANGE_BITS = 8
 
 
+@pytest.mark.slow
 def test_eligibility_snark_ballot_flow():
     """Groth16 Poseidon-Merkle eligibility wired into the election
     (VERDICT round-1 item 6; reference: voting-example.ts:627-701).

@@ -97,6 +97,7 @@ class TestEncryptedComparisons:
         assert np.asarray(eng.lwe_decrypt(eng.lwe_eq(a, b, bsk), sk))[0] == 1
         assert np.asarray(eng.lwe_decrypt(eng.lwe_eq(a, c, bsk), sk))[0] == 0
 
+    @pytest.mark.slow
     def test_threshold(self, tfhe):
         eng, sk, bsk = tfhe
         for v, want in [(0, 0), (1, 0), (2, 1), (3, 1)]:
@@ -105,6 +106,7 @@ class TestEncryptedComparisons:
             out = eng.lwe_gt_threshold(ct, 2, bsk)
             assert np.asarray(eng.lwe_decrypt(out, sk))[0] == want, v
 
+    @pytest.mark.slow
     def test_detect_duplicate(self, tfhe):
         eng, sk, bsk = tfhe
         existing = [eng.lwe_encrypt(jax.random.PRNGKey(30 + v),

@@ -84,6 +84,7 @@ def test_infinity_identity(curve):
     assert bool(np.asarray(curve.eq(curve.add(inf, g), g)))
 
 
+@pytest.mark.slow
 def test_scalar_mul_matches_oracle(curve):
     q = curve.fq.q
     ks = [1, 2, 5, 12345, curve.order - 1]
@@ -120,6 +121,7 @@ def test_msm_matches_sum(curve):
     assert (int(gx), int(gy)) == want
 
 
+@pytest.mark.slow
 def test_msm_pippenger_matches_naive():
     """Sorted-scan Pippenger == per-point ladder MSM at a real batch size
     (random full-width scalars, mixed points incl. repeats/infinity)."""
