@@ -41,6 +41,12 @@ def serialize_bootstrap_key(bsk: BootstrapKey,
     if bsk.ggsw_ext is not None:
         arrays["ggsw_ext_lo"] = np.asarray(bsk.ggsw_ext[0])
         arrays["ggsw_ext_hi"] = np.asarray(bsk.ggsw_ext[1])
+    if bsk.ggsw_crt is not None:
+        (c1lo, c1hi), (c2lo, c2hi) = bsk.ggsw_crt
+        arrays["ggsw_crt_1lo"] = np.asarray(c1lo)
+        arrays["ggsw_crt_1hi"] = np.asarray(c1hi)
+        arrays["ggsw_crt_2lo"] = np.asarray(c2lo)
+        arrays["ggsw_crt_2hi"] = np.asarray(c2hi)
     arrays["ksk_a"] = np.asarray(bsk.ksk_a)
     arrays["ksk_b"] = np.asarray(bsk.ksk_b)
     arrays["params_json"] = np.frombuffer(
@@ -70,10 +76,16 @@ def deserialize_bootstrap_key(raw: bytes,
         if "ggsw_ext_lo" in z:
             ggsw_ext = (jnp.asarray(z["ggsw_ext_lo"]),
                         jnp.asarray(z["ggsw_ext_hi"]))
+        ggsw_crt = None
+        if "ggsw_crt_1lo" in z:
+            ggsw_crt = ((jnp.asarray(z["ggsw_crt_1lo"]),
+                         jnp.asarray(z["ggsw_crt_1hi"])),
+                        (jnp.asarray(z["ggsw_crt_2lo"]),
+                         jnp.asarray(z["ggsw_crt_2hi"])))
         return BootstrapKey(ksk_a=jnp.asarray(z["ksk_a"]),
                             ksk_b=jnp.asarray(z["ksk_b"]),
                             params=params, ggsw_ext=ggsw_ext,
-                            ggsw_i8=ggsw_i8)
+                            ggsw_i8=ggsw_i8, ggsw_crt=ggsw_crt)
 
 
 class BootstrapKeyCache:
@@ -133,6 +145,15 @@ class BootstrapKeyCache:
             try:
                 with open(path, "rb") as f:
                     bsk = deserialize_bootstrap_key(f.read(), engine.p)
+                # a blob written before a form was serializable (e.g. crt
+                # pre-round-3) deserializes without the form this backend
+                # consumes — treat as a miss and regenerate, never crash
+                form_field = {"ntt": "ggsw_ext",
+                              "crt": "ggsw_crt"}.get(engine.backend,
+                                                     "ggsw_i8")
+                if getattr(bsk, form_field) is None:
+                    raise SerializationError(f"cached blob lacks "
+                                             f"{form_field}")
                 return lwe_sk, glwe_sk, bsk
             except Exception:  # corrupt/stale entry: evict, regenerate
                 os.remove(path)

@@ -75,6 +75,15 @@ class DistPolyRing:
         self._pw = jax.jit(shard_map(
             self.dntt.pointwise_local, mesh=mesh,
             in_specs=(grid3, grid3), out_specs=grid3))
+        # Elementwise ops as SINGLE cached executables: eager limb-plane
+        # arithmetic dispatches ~6 primitive compiles per ring op, and at
+        # N=16384 the XLA:CPU compile pipeline intermittently aborts under
+        # that load (see tests/conftest.py); one jitted program per op
+        # shape also cuts dispatch overhead for key-generation loops.
+        self._add_j = jax.jit(self.ctx.add)
+        self._sub_j = jax.jit(self.ctx.sub)
+        self._neg_j = jax.jit(self.ctx.neg)
+        self._mul_j = jax.jit(self.ctx.mul)
 
     # -- layout ---------------------------------------------------------------
     def to_grid(self, planes):
@@ -123,31 +132,47 @@ class DistPolyRing:
 
     # -- elementwise (shard trivially under jit) -------------------------------
     def add(self, a, b):
-        return self.ctx.add(a, b)
+        return self._add_j(a, b)
 
     def scalar_mul(self, a, scalar: int):
         from ..ops.u64 import u64_from_int
-        return self.ctx.mul(a, u64_from_int(scalar % self.q))
+        return self._mul_j(a, u64_from_int(scalar % self.q))
 
     def sub(self, a, b):
-        return self.ctx.sub(a, b)
+        return self._sub_j(a, b)
 
     def neg(self, a):
-        return self.ctx.neg(a)
+        return self._neg_j(a)
 
     # -- transforms ------------------------------------------------------------
+    @staticmethod
+    def _flat3(planes):
+        """batch + (d2, d1) planes -> rank-3 (B, d2, d1) for shard specs."""
+        lo, hi = planes
+        return (lo.reshape((-1,) + lo.shape[-2:]),
+                hi.reshape((-1,) + hi.shape[-2:]))
+
     def to_ntt(self, a):
-        """(..., N) coefficients -> dist-NTT-domain grid (B, n2, n1) plus
-        batch-shape tag (pass the tuple straight to pointwise/from_ntt)."""
+        """(..., N) coefficients -> dist-NTT-domain planes of shape
+        batch + (n2, n1).  Plain (lo, hi) limb planes — the same contract
+        as PolyRing.to_ntt — so elementwise ring ops (add/sub/neg) work on
+        NTT-domain values unchanged (CKKS's d1 = a0*b1 + a1*b0 adds in
+        the transform domain)."""
         g, batch = self.to_grid(a)
-        return (self._fwd(g), batch)
+        lo, hi = self._fwd(g)
+        shp = batch + lo.shape[-2:]
+        return (lo.reshape(shp), hi.reshape(shp))
 
     def from_ntt(self, a_hat):
-        g, batch = a_hat
-        return self.from_grid(self._inv(g), batch)
+        lo, hi = a_hat
+        batch = lo.shape[:-2]
+        return self.from_grid(self._inv(self._flat3(a_hat)), batch)
 
     def pointwise(self, a_hat, b_hat):
-        return (self._pw(a_hat[0], b_hat[0]), a_hat[1])
+        batch = a_hat[0].shape[:-2]
+        lo, hi = self._pw(self._flat3(a_hat), self._flat3(b_hat))
+        shp = batch + lo.shape[-2:]
+        return (lo.reshape(shp), hi.reshape(shp))
 
     def multiply(self, a, b):
         """Full distributed negacyclic product on (..., N) planes."""

@@ -262,11 +262,13 @@ class ComprehensiveBenchmarkRunner:
                     and jax.default_backend() != "cpu":
                 # fused Pallas CMux backend (the production default on
                 # TPU) — consumes the same ggsw_i8 BSK form, so the
-                # cached key drops in unchanged
+                # cached key drops in unchanged; prepare_bsk precomputes
+                # the Toeplitz tiles as production does
                 eng_pl = TfheEngine(p, ext_backend="pallas")
+                bsk_t = eng_pl.prepare_bsk(bsk)
                 samples = self.timer.run(
-                    lambda i, e=eng_pl: e.bootstrap_jit(cts[i], bsk, tp))
-                out = eng_pl.bootstrap_jit(ct, bsk, tp)
+                    lambda i, e=eng_pl: e.bootstrap_jit(cts[i], bsk_t, tp))
+                out = eng_pl.bootstrap_jit(ct, bsk_t, tp)
                 dec = np.asarray(eng_pl.lwe_decrypt(out, lwe_sk))
                 correct = bool(np.array_equal(dec, np.asarray(msgs)))
                 self._record(
@@ -439,24 +441,68 @@ class ComprehensiveBenchmarkRunner:
                      samples, ballots,
                      bool(int(dec[0]) == ballots % eng.t), batch=ballots)
 
-    def run_full_suite(self, production: bool = True):
+    def export_all(self, outdir: str):
+        """Write CSVs + JSON + HTML for the CURRENT results — called after
+        every stage (crash/timeout keeps the completed stages' rows)."""
+        os.makedirs(outdir, exist_ok=True)
+        for suite_name, text in self.export_csv().items():
+            with open(os.path.join(outdir, f"{suite_name}.csv"), "w") as f:
+                f.write(text)
+        with open(os.path.join(outdir, "benchmark_results.json"), "w") as f:
+            f.write(self.export_json())
+        with open(os.path.join(outdir, "benchmark_report.html"), "w") as f:
+            f.write(self.export_html())
+
+    def run_full_suite(self, production: bool = True,
+                       autodump_dir: str | None = None):
+        import sys
+
+        def stage(name):
+            if autodump_dir and self.results:
+                self.export_all(autodump_dir)
+            print(f"[bench_suite] {name}...", file=sys.stderr, flush=True)
+
+        stage("modmul")
         self.benchmark_modmul()
+        stage("ntt")
         self.benchmark_ntt()
+        stage("poly_mul")
         self.benchmark_poly_mul()
+        stage("bootstrap")
         self.benchmark_bootstrap(production=production)
         if production and os.environ.get("NFA_BENCH_TFHE256"):
+            stage("bootstrap_tfhe256")
             self.benchmark_bootstrap_tfhe256()
+        stage("zk")
         self.benchmark_zk(log_constraints=12 if production else 6,
                           msm_points=4096 if production else 64)
+        if production:
+            stage("ckks")
+            self.benchmark_ckks()
+        stage("pipeline")
+        self.benchmark_pipeline()
         if production and os.environ.get("NFA_BENCH_ZK_BIG"):
             # Groth16 proving at scale on device (VERDICT r2 item 5):
-            # 2^14 and 2^16 constraint chains, device QAP + device MSMs
-            # (incl. the G2 B-element), verified under the real pairing
-            self.benchmark_zk(log_constraints=14, msm=False)
-            self.benchmark_zk(log_constraints=16, msm=False)
-        if production:
-            self.benchmark_ckks()
-        self.benchmark_pipeline()
+            # 2^14 and 2^16 constraint chains, device QAP + chunked device
+            # MSMs (incl. the G2 B-element), verified under the real
+            # pairing.  Runs LAST (proves are minutes-scale) with fewer
+            # timed iterations.
+            warm, iters = self.timer.warmup, self.timer.iters
+            self.timer.warmup, self.timer.iters = 1, 2
+            try:
+                stage("zk groth16 2^14")
+                self.benchmark_zk(log_constraints=14, msm=False)
+                if os.environ.get("NFA_BENCH_ZK_2E16"):
+                    # 2^16 CRASHES the v5e TPU worker (kernel fault, even
+                    # with 8K-point MSM chunks — observed 2026-08-19
+                    # twice); keep it opt-in until the QAP/Fr-NTT memory
+                    # at 2m=131072 is chunked too
+                    stage("zk groth16 2^16")
+                    self.benchmark_zk(log_constraints=16, msm=False)
+            finally:
+                self.timer.warmup, self.timer.iters = warm, iters
+        if autodump_dir:
+            self.export_all(autodump_dir)
         return self.results
 
     # -- recording / export --------------------------------------------------
@@ -536,15 +582,8 @@ def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         repo, "benchmark_results")
     runner = ComprehensiveBenchmarkRunner()
-    runner.run_full_suite()
-    os.makedirs(outdir, exist_ok=True)
-    for suite, text in runner.export_csv().items():
-        with open(os.path.join(outdir, f"{suite}.csv"), "w") as f:
-            f.write(text)
-    with open(os.path.join(outdir, "benchmark_results.json"), "w") as f:
-        f.write(runner.export_json())
-    with open(os.path.join(outdir, "benchmark_report.html"), "w") as f:
-        f.write(runner.export_html())
+    runner.run_full_suite(autodump_dir=outdir)
+    runner.export_all(outdir)
     for r in runner.results:
         print(f"{r.suite:10s} {r.name:28s} {r.throughput_ops_s:14,.1f} ops/s"
               f"  x{r.speedup_vs_baseline:8.2f}  correct={r.correct}")

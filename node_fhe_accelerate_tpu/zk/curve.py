@@ -559,6 +559,32 @@ class Curve:
                       jnp.concatenate([points[1], inf[1]]),
                       jnp.concatenate([points[2], inf[2]]))
         n_pad = scalar_limbs.shape[0]
+        # Chunk very large MSMs: the device Pippenger's sort/prefix-scan
+        # materializes O(n * limbs * windows) int32 temporaries (observed
+        # HBM OOM at the 2^16-constraint Groth16 prove); summing 16K-point
+        # chunks bounds peak memory at a negligible cost of one point add
+        # per chunk.
+        import os as _os
+        max_chunk = int(_os.environ.get("NFA_MSM_CHUNK", "16384"))
+        traced0 = isinstance(scalar_limbs, jax.core.Tracer)
+        if not traced0 and n_pad > max_chunk:
+            acc = None
+            for off in range(0, n_pad, max_chunk):
+                part = self.msm(
+                    scalar_limbs[off:off + max_chunk],
+                    (points[0][off:off + max_chunk],
+                     points[1][off:off + max_chunk],
+                     points[2][off:off + max_chunk]),
+                    pad_pow2=True, min_pippenger=min_pippenger,
+                    backend="device")
+                if acc is None:
+                    acc = part
+                else:
+                    s = self.add((acc[0][None], acc[1][None], acc[2][None]),
+                                 (part[0][None], part[1][None],
+                                  part[2][None]))
+                    acc = (s[0][0], s[1][0], s[2][0])
+            return acc
         jit_pip = getattr(self, "_jit_pippenger", None)
         if jit_pip is None:
             jit_pip = jax.jit(self._msm_pippenger_impl,

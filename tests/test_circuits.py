@@ -38,6 +38,7 @@ def test_poseidon_gadget_matches_host(poseidon):
         assert got == want
 
 
+@pytest.mark.slow
 def test_eligibility_witness_satisfies_r1cs(poseidon):
     depth = 3
     circ = EligibilityCircuit(depth, poseidon)

@@ -2,11 +2,13 @@
 
 In-process invocation of main(argv) — a subprocess would re-pay the whole
 JAX/XLA import+compile cost per test for no extra coverage."""
+import pytest
 import json
 
 from node_fhe_accelerate_tpu.cli import main
 
 
+@pytest.mark.slow
 def test_export_demo_then_verify(tmp_path, capsys):
     pkg = tmp_path / "demo.json"
     assert main(["export-demo", str(pkg)]) == 0

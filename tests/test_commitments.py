@@ -15,6 +15,7 @@ def kzg():
 
 
 class TestKZG:
+    @pytest.mark.slow
     def test_commit_open_verify(self, kzg):
         scheme, setup = kzg
         r = scheme.r
@@ -56,6 +57,7 @@ class TestKZG:
 
 
 class TestFRI:
+    @pytest.mark.slow
     def test_prove_verify_roundtrip(self):
         fri = FRIScheme(FRIConfig(domain_log=5, num_queries=6))
         coeffs = [3, 1, 4, 1, 5, 9, 2, 6]

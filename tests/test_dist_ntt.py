@@ -270,14 +270,12 @@ def test_ckks_leveled_multiply_over_dist_ring():
     got = eng.decrypt(out, sk)
     assert np.max(np.abs(np.real(got[:n_slots]) - va[:n_slots] * vb[:n_slots])) < 1e-3
 
-    # bit-exactness vs the single-chip engine under identical randomness
+    # bit-exactness vs the single-chip engine on the SAME ciphertexts and
+    # keys (the two rings sample keys with different fold-in schedules, so
+    # same-seed comparison is meaningless; residue planes are format-
+    # compatible, so the dist engine's outputs must be bit-identical)
     eng1 = CkksEngine(params)
-    sk1 = eng1.generate_secret_key(jax.random.fold_in(key, 0))
-    pk1 = eng1.generate_public_key(jax.random.fold_in(key, 1), sk1)
-    rlk1 = eng1.generate_relin_keys(jax.random.fold_in(key, 2), sk1)
-    ca1 = eng1.encrypt(jax.random.fold_in(key, 3), va, pk1)
-    cb1 = eng1.encrypt(jax.random.fold_in(key, 4), vb, pk1)
-    out1 = eng1.multiply_relin_rescale(ca1, cb1, rlk1)
+    out1 = eng1.multiply_relin_rescale(ca, cb, rlk)
     for p_dist, p_single in zip(out.c0, out1.c0):
         np.testing.assert_array_equal(
             np.stack([np.asarray(x) for x in p_dist]),

@@ -29,6 +29,7 @@ def eng():
 
 
 class TestBskSerialization:
+    @pytest.mark.slow
     def test_blob_round_trip(self, eng):
         key = jax.random.PRNGKey(7)
         lwe_sk = eng.lwe_keygen(jax.random.fold_in(key, 0))

@@ -101,6 +101,7 @@ class TestKzgOverBls:
     """KZG commit/open/verify on BLS12-381 through the parameterized
     scheme — the pairing module selected by curve order."""
 
+    @pytest.mark.slow
     def test_commit_open_verify(self):
         from node_fhe_accelerate_tpu.zk.commitments import KZGScheme
         from node_fhe_accelerate_tpu.zk.curve import bls12_381_g1

@@ -326,6 +326,7 @@ class TestZKProofManager:
             bad = mgr.prove_eligibility(202, sec + 1)
             assert not mgr.verify_eligibility(bad).valid
 
+    @pytest.mark.slow
     def test_tally_correctness_round_trip(self, mgr):
         proof = mgr.prove_tally_correctness([1, 2, 3, 4], total=10)
         assert mgr.verify_tally_correctness(proof).valid

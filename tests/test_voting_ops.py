@@ -86,6 +86,7 @@ class TestEncryptedComparisons:
         assert np.asarray(eng.lwe_decrypt(
             eng.lwe_is_zero(ct2, bsk), sk))[0] == 0
 
+    @pytest.mark.slow
     def test_eq(self, tfhe):
         eng, sk, bsk = tfhe
         a = eng.lwe_encrypt(jax.random.PRNGKey(3),

@@ -119,6 +119,7 @@ def test_transcript_order_sensitivity():
     assert a.challenge_bytes("c") != b.challenge_bytes("c")
 
 
+@pytest.mark.slow
 def test_merkle_tree(poseidon):
     f = poseidon.f
     leaves = f.encode(list(range(1, 9)))
