@@ -45,15 +45,21 @@ def limbs_to_int(arr) -> int:
 
 
 def limbs_from_ints(values, n_limbs: int):
-    """Array of Python ints -> (..., L) uint32."""
+    """Array of Python ints -> (..., L) uint32.
+
+    One `int.to_bytes` C call per value + a single frombuffer, instead of
+    n_limbs Python bigint shift/mask ops each: this host conversion sat
+    on the Groth16 prove critical path (measured 6.4 s for 4098 BN254
+    scalars via the old nditer loop on this box — ~2/3 of the prove)."""
     values = np.asarray(values, dtype=object)
-    out = np.empty(values.shape + (n_limbs,), dtype=np.uint32)
-    it = np.nditer(values, flags=["multi_index", "refs_ok"])
-    for v in it:
-        x = int(v.item())
-        for i in range(n_limbs):
-            out[it.multi_index + (i,)] = (x >> (32 * i)) & 0xFFFFFFFF
-    return jnp.asarray(out)
+    nbytes = 4 * n_limbs
+    mod = 1 << (32 * n_limbs)
+    buf = b"".join(
+        (int(v) % mod).to_bytes(nbytes, "little")
+        for v in values.reshape(-1).tolist())
+    arr = np.frombuffer(buf, dtype="<u4").reshape(
+        values.shape + (n_limbs,)).copy()
+    return jnp.asarray(arr)
 
 
 def limbs_to_ints(arr) -> np.ndarray:
