@@ -44,11 +44,15 @@ EXACTLY 2 pairings:
 with [F] the linearized commitment combination and [E] the combined
 claimed-evaluation scalar times G, both computed in ONE device MSM.
 
-Remaining simplification (matching the reference's scope, which has no
-hiding either): witness/quotient polynomials carry no zero-knowledge
-blinders — the proof is a succinct argument of knowledge, not
-zero-knowledge.  Blinding needs an 8n coset evaluation domain (the
-blinded numerator exceeds degree 4n); noted as future work.
+Zero-knowledge blinding (round 3, beyond the reference, which has no
+hiding at all): the wire polynomials carry (b1 X + b2) Z_H blinders, the
+grand product z carries a quadratic (b7 X^2 + b8 X + b9) Z_H blinder, and
+the quotient chunks carry the telescoping b10/b11 split blinders of the
+PLONK paper — so every commitment and every claimed evaluation is
+statistically independent of the witness.  The blinded numerator has
+degree 4n+5 > 4n-1, so the quotient pipeline evaluates on the EIGHT-n
+negacyclic extension domain (roots of X^{8n} + 1) and divides by
+Z_H = X^n + 1 with an 8-block back-substitution.
 """
 from __future__ import annotations
 
@@ -167,7 +171,9 @@ class _Domain:
         self.f = f
         self.n = n
         self.ntt = FrNtt(f, n)
-        self.ntt4 = FrNtt(f, 4 * n)
+        # The blinded numerator has degree 4n+5, so the extension domain is
+        # 8n (roots of X^{8n} + 1) — exact coefficients, nothing wraps.
+        self.ntt8 = FrNtt(f, 8 * n)
         self.points = self.ntt.points           # x_j = psi^(2j+1)
         self.omega = self.ntt.psi * self.ntt.psi % R
         # H, K1*H, K2*H must be pairwise disjoint: k^n == 1 would fold a
@@ -177,12 +183,13 @@ class _Domain:
                 raise ValueError("coset shift collides with the domain")
 
         # constant planes for the quotient pipeline
-        pts4 = self.ntt4.points[:]
-        self._x4 = f.encode(pts4)                         # X on 4n domain
-        self._k1x4 = f.encode([K1 * x % R for x in pts4])
-        self._k2x4 = f.encode([K2 * x % R for x in pts4])
+        pts8 = self.ntt8.points[:]
+        self._x8 = f.encode(pts8)                         # X on 8n domain
+        self._k1x8 = f.encode([K1 * x % R for x in pts8])
+        self._k2x8 = f.encode([K2 * x % R for x in pts8])
+        # z(omega X) coefficient scaling for the blinded z (degree n+2)
         self._omega_pows = f.encode(
-            [pow(self.omega, i, R) for i in range(n)])    # z(omega X) scale
+            [pow(self.omega, i, R) for i in range(n + 3)])
         self._one = f.encode([1])[0]
 
         self._interp_j = jax.jit(self.ntt.interpolate)
@@ -198,65 +205,76 @@ class _Domain:
         return [int(x) for x in self.f.decode(co)]
 
     # -- quotient pipeline (one jitted program) -------------------------------
-    def _eval4(self, coeffs):
-        """(m, L) coefficient planes, m <= 4n -> values on the 4n domain."""
-        f, n4 = self.f, 4 * self.n
+    def _eval8(self, coeffs):
+        """(m, L) coefficient planes, m <= 8n -> values on the 8n domain."""
+        f, n8 = self.f, 8 * self.n
         m = coeffs.shape[-2]
-        pad = jnp.zeros((n4 - m,) + coeffs.shape[-1:], coeffs.dtype)
-        return self.ntt4.evaluate(jnp.concatenate([coeffs, pad], axis=-2))
+        pad = jnp.zeros((n8 - m,) + coeffs.shape[-1:], coeffs.dtype)
+        return self.ntt8.evaluate(jnp.concatenate([coeffs, pad], axis=-2))
 
     def _quotient(self, a_c, b_c, c_c, z_c, pi_c, l1_c, sel_c, sig_c,
                   beta, gamma, alpha):
-        """Coefficient planes -> (t coefficient planes (3n, L), rem_ok).
+        """Blinded coefficient planes -> (t planes (3n+6, L), rem_ok).
 
-        sel_c: (5, n, L) ql,qr,qo,qm,qc; sig_c: (3, n, L)."""
+        a_c/b_c/c_c: (n+2, L) blinded wires; z_c: (n+3, L) blinded grand
+        product; sel_c: (5, n, L) ql,qr,qo,qm,qc; sig_c: (3, n, L).  The
+        numerator (degree <= 4n+5) is assembled elementwise on the 8n
+        extension domain; division by Z_H = X^n + 1 is an 8-block back
+        substitution with an on-device remainder + degree-bound check."""
         f, n = self.f, self.n
-        zw_c = f.mul(z_c, self._omega_pows)     # z(omega X) coefficients
+        # z(omega X) coefficients (blinded z has n+3 of them)
+        zw_c = f.mul(z_c, self._omega_pows[: z_c.shape[-2]])
 
-        a4 = self._eval4(a_c)
-        b4 = self._eval4(b_c)
-        c4 = self._eval4(c_c)
-        z4 = self._eval4(z_c)
-        zw4 = self._eval4(zw_c)
-        pi4 = self._eval4(pi_c)
-        l14 = self._eval4(l1_c)
-        ql4, qr4, qo4, qm4, qc4 = (self._eval4(sel_c[i]) for i in range(5))
-        s14, s24, s34 = (self._eval4(sig_c[i]) for i in range(3))
+        a8 = self._eval8(a_c)
+        b8 = self._eval8(b_c)
+        c8 = self._eval8(c_c)
+        z8 = self._eval8(z_c)
+        zw8 = self._eval8(zw_c)
+        pi8 = self._eval8(pi_c)
+        l18 = self._eval8(l1_c)
+        ql8, qr8, qo8, qm8, qc8 = (self._eval8(sel_c[i]) for i in range(5))
+        s18, s28, s38 = (self._eval8(sig_c[i]) for i in range(3))
 
         gate = f.add(
-            f.add(f.add(f.mul(ql4, a4), f.mul(qr4, b4)),
-                  f.add(f.mul(qo4, c4), f.mul(qm4, f.mul(a4, b4)))),
-            f.add(qc4, pi4))
+            f.add(f.add(f.mul(ql8, a8), f.mul(qr8, b8)),
+                  f.add(f.mul(qo8, c8), f.mul(qm8, f.mul(a8, b8)))),
+            f.add(qc8, pi8))
 
-        def blinded(w4, x4):
-            return f.add(w4, f.add(f.mul(beta, x4), gamma))
+        def shifted(w8, x8):
+            return f.add(w8, f.add(f.mul(beta, x8), gamma))
 
-        lhs = f.mul(f.mul(blinded(a4, self._x4), blinded(b4, self._k1x4)),
-                    f.mul(blinded(c4, self._k2x4), z4))
-        rhs = f.mul(f.mul(blinded(a4, s14), blinded(b4, s24)),
-                    f.mul(blinded(c4, s34), zw4))
+        lhs = f.mul(f.mul(shifted(a8, self._x8), shifted(b8, self._k1x8)),
+                    f.mul(shifted(c8, self._k2x8), z8))
+        rhs = f.mul(f.mul(shifted(a8, s18), shifted(b8, s28)),
+                    f.mul(shifted(c8, s38), zw8))
         perm = f.sub(lhs, rhs)
-        bound = f.mul(f.sub(z4, self._one), l14)
+        bound = f.mul(f.sub(z8, self._one), l18)
 
-        num4 = f.add(gate, f.add(f.mul(alpha, perm),
+        num8 = f.add(gate, f.add(f.mul(alpha, perm),
                                  f.mul(f.mul(alpha, alpha), bound)))
-        num_c = self.ntt4.interpolate(num4)
+        num_c = self.ntt8.interpolate(num8)
 
-        # divide by Z_H = X^n + 1: block back-substitution
-        b0, b1, b2, b3 = (num_c[i * n:(i + 1) * n] for i in range(4))
-        q2 = b3
-        q1 = f.sub(b2, q2)
-        q0 = f.sub(b1, q1)
-        rem = f.sub(b0, q0)
-        ok = jnp.all(f.is_zero(rem))
-        return jnp.concatenate([q0, q1, q2], axis=-2), ok
+        # divide by Z_H = X^n + 1: back-substitute over the 8 n-blocks
+        # (num = sum_i b_i X^{in}  =>  q_6 = b_7, q_i = b_{i+1} - q_{i+1},
+        #  rem = b_0 - q_0)
+        blocks = [num_c[i * n:(i + 1) * n] for i in range(8)]
+        qs = [None] * 7
+        qs[6] = blocks[7]
+        for i in range(5, -1, -1):
+            qs[i] = f.sub(blocks[i + 1], qs[i + 1])
+        rem = f.sub(blocks[0], qs[0])
+        q_full = jnp.concatenate(qs, axis=-2)           # (7n, L)
+        # t has degree <= 3n+5; everything above must be exactly zero
+        tail_ok = jnp.all(f.is_zero(q_full[3 * n + 6:]))
+        ok = jnp.all(f.is_zero(rem)) & tail_ok
+        return q_full[: 3 * n + 6], ok
 
-    def quotient_ints(self, a_p, b_p, c_p, z_vals, pi_p, l1_p, sel_p, sig_p,
+    def quotient_ints(self, a_p, b_p, c_p, z_p, pi_p, l1_p, sel_p, sig_p,
                       beta: int, gamma: int, alpha: int):
+        """Blinded coefficient planes -> t coefficients (3n+6 ints)."""
         f = self.f
-        z_c = self._interp_j(self.encode_vals(z_vals))
         enc1 = lambda s: f.encode([s % R])      # (1, L) broadcast scalar
-        t_planes, ok = self._quot_j(a_p, b_p, c_p, z_c, pi_p, l1_p,
+        t_planes, ok = self._quot_j(a_p, b_p, c_p, z_p, pi_p, l1_p,
                                     sel_p, sig_p,
                                     enc1(beta), enc1(gamma), enc1(alpha))
         if not bool(ok):
@@ -316,6 +334,9 @@ class PlonkProver:
         self.kzg_scheme = KZGScheme(bn254_g1())
         # Default: OS CSPRNG; seeded mode for reproducible tests only.
         self._rng = ScalarRng(R, rng_seed)
+
+    def _rand(self) -> int:
+        return self._rng.scalar()
 
     def setup(self, circuit: PlonkCircuit, kzg_seed: int = 0) -> PlonkSetup:
         n = max(4, 1 << (len(circuit.gates) - 1).bit_length()) \
@@ -404,6 +425,24 @@ class PlonkProver:
         a_poly, b_poly, c_poly, pi_poly = dec(a_p), dec(b_p), dec(c_p), \
             dec(pi_p)
 
+        # Zero-knowledge blinders: w'(X) = w(X) + (b_1 X + b_2) Z_H(X)
+        # with Z_H = X^n + 1 — vanishes on H, so evaluations on the domain
+        # (hence the gate checks and the grand product) are unchanged,
+        # while w'(zeta) and [w'] are statistically independent of the
+        # witness (GWC19 round 1; the reference has no hiding at all).
+        def blind_wire(poly):
+            bb1, bb2 = self._rand(), self._rand()
+            out = list(poly) + [0, 0]
+            out[0] = (out[0] + bb2) % R
+            out[1] = (out[1] + bb1) % R
+            out[n] = (out[n] + bb2) % R
+            out[n + 1] = (out[n + 1] + bb1) % R
+            return out
+
+        a_poly = blind_wire(a_poly)
+        b_poly = blind_wire(b_poly)
+        c_poly = blind_wire(c_poly)
+
         kzg = setup.kzg
         scheme = self.kzg_scheme
         tr = Transcript("PLONK")
@@ -432,20 +471,37 @@ class PlonkProver:
         for i in range(n - 1):
             z_vals.append(z_vals[-1] * nums[i] % R * den_invs[i] % R)
         z_poly = dm.interp_ints(z_vals)
+        # quadratic blinder for z (it is opened at TWO points, zeta and
+        # omega*zeta, plus its commitment — three leaked values need three
+        # random coefficients): z'(X) = z(X) + (b7 X^2 + b8 X + b9) Z_H(X)
+        b7, b8, b9 = self._rand(), self._rand(), self._rand()
+        z_poly = list(z_poly) + [0, 0, 0]
+        for off, bb in ((0, b9), (1, b8), (2, b7)):
+            z_poly[off] = (z_poly[off] + bb) % R
+            z_poly[n + off] = (z_poly[n + off] + bb) % R
         z_com = scheme.commit(z_poly, kzg)
         commits["z"] = z_com
         tr.append_point("z", _aff3(scheme.curve, z_com))
         alpha = tr.challenge_field_element("alpha", R)
 
         # quotient t = [gate + alpha*perm + alpha^2*(z-1)L1] / (X^n + 1),
-        # assembled in evaluation form on the 4n domain (device), split
-        # into three degree-<n chunks t_lo + X^n t_mid + X^2n t_hi
-        # (plonk.cpp:693-720 commits one t; the standard split keeps every
-        # commitment within the degree-n SRS prefix)
-        t_poly = dm.quotient_ints(a_p, b_p, c_p, z_vals, pi_p,
-                                  setup.l1_plane, setup.sel_planes,
-                                  setup.sig_planes, beta, gamma, alpha)
-        t_lo, t_mid, t_hi = (t_poly[:n], t_poly[n:2 * n], t_poly[2 * n:])
+        # assembled in evaluation form on the 8n domain (device; the
+        # blinded numerator has degree 4n+5), split into chunks
+        # t_lo + X^n t_mid + X^2n t_hi (plonk.cpp:693-720 commits one t;
+        # the split keeps every commitment within the SRS), with the
+        # telescoping b10/b11 chunk blinders of the PLONK paper:
+        # t_lo' = t_lo + b10 X^n, t_mid' = t_mid - b10 + b11 X^n,
+        # t_hi' = t_hi - b11  (their recombination at any point is t).
+        enc = dm.f.encode
+        t_poly = dm.quotient_ints(
+            enc([x % R for x in a_poly]), enc([x % R for x in b_poly]),
+            enc([x % R for x in c_poly]), enc([x % R for x in z_poly]),
+            pi_p, setup.l1_plane, setup.sel_planes,
+            setup.sig_planes, beta, gamma, alpha)
+        b10, b11 = self._rand(), self._rand()
+        t_lo = t_poly[:n] + [b10]
+        t_mid = [(t_poly[n] - b10) % R] + t_poly[n + 1:2 * n] + [b11]
+        t_hi = [(t_poly[2 * n] - b11) % R] + t_poly[2 * n + 1:]
         for name, part in (("t_lo", t_lo), ("t_mid", t_mid),
                            ("t_hi", t_hi)):
             com = scheme.commit(part, kzg)
@@ -479,6 +535,8 @@ class PlonkProver:
 
         def axpy(acc_poly, poly, s):
             s %= R
+            if len(poly) > len(acc_poly):      # blinded polys exceed n
+                acc_poly.extend([0] * (len(poly) - len(acc_poly)))
             for i, cf in enumerate(poly):
                 acc_poly[i] = (acc_poly[i] + s * cf) % R
 

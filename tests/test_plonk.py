@@ -73,6 +73,22 @@ def test_proof_size_and_two_pairings(mult_setup):
     assert calls == [2]
 
 
+def test_zero_knowledge_blinding(mult_setup):
+    """Two proofs of the SAME witness must differ in every commitment and
+    every claimed evaluation (the blinders randomize them), yet both
+    verify — the hiding property the reference never had."""
+    c, setup, prover, verifier, (z, x, y, xy) = mult_setup
+    assign = {z: 42, x: 6, y: 7, xy: 42}
+    p1 = prover.prove(setup, assign, [42])
+    p2 = prover.prove(setup, assign, [42])
+    assert verifier.verify(setup, [42], p1)
+    assert verifier.verify(setup, [42], p2)
+    for name in ("a", "b", "c", "z", "t_lo", "t_mid", "t_hi"):
+        assert p1.commits[name] != p2.commits[name], name
+    for name in ("a", "b", "c", "z_w"):
+        assert p1.evals[name] != p2.evals[name], name
+
+
 def test_tally_correctness_circuit():
     circuit, ballots, total = tally_correctness_circuit(3)
     prover = PlonkProver()
