@@ -367,18 +367,64 @@ class Curve:
         Ys = jnp.take(Y, order, axis=0)
         Zs = jnp.take(Z, order, axis=0)
 
-        # 3. batched prefix sums of the group op over the point axis
-        Cx, Cy, Cz = self._prefix_scan_add((Xs, Ys, Zs))
+        # 3. batched prefix sums of the group op over the point axis.
+        #    Work-efficient two-level segmented scan: a flat Hillis-Steele
+        #    costs log2(n) full-width adds, but the prefixes are only ever
+        #    read at the 2^c-1 bucket boundaries (step 4), so it suffices
+        #    to scan WITHIN groups of g (log2(g) full-width adds), scan the
+        #    group totals (log2(n/g) adds at 1/g width), and combine the
+        #    two at the gathered boundaries (one 255-wide add) — ~4.4n add
+        #    work instead of 12n at n=4096.  Each fori body compiles the
+        #    branchless add exactly once, as before.
+        g = 8
+        while n % g:
+            g //= 2
+        ngroups = n // g
+        shp = Xs.shape[1:]
+        Xg = Xs.reshape((ngroups, g) + shp)
+        Yg = Ys.reshape((ngroups, g) + shp)
+        Zg = Zs.reshape((ngroups, g) + shp)
+        posg = jnp.arange(g).reshape((1, g) + (1,) * len(shp))
 
-        # 4. gather C[e_k] for k = 0..2^c-2 per window
+        def wbody(i, acc):
+            ax, ay, az = acc
+            sh = jnp.int32(1) << i
+            sx = jnp.roll(ax, sh, axis=1)
+            sy = jnp.roll(ay, sh, axis=1)
+            sz = jnp.where(posg < sh, 0, jnp.roll(az, sh, axis=1))
+            return self._add_impl(acc, (sx, sy, sz))
+
+        Wx, Wy, Wz = jax.lax.fori_loop(
+            0, max(1, g.bit_length() - 1), wbody, (Xg, Yg, Zg)) \
+            if g > 1 else (Xg, Yg, Zg)
+        # inclusive prefix over per-group totals (width n/g)
+        Tx, Ty, Tz = self._prefix_scan_add((Wx[:, -1], Wy[:, -1], Wz[:, -1]))
+        # exclusive version: shift down one group, identity (Z=0) in front
+        Ex = jnp.concatenate([Tx[:1], Tx[:-1]], axis=0)
+        Ey = jnp.concatenate([Ty[:1], Ty[:-1]], axis=0)
+        Ez = jnp.concatenate([jnp.zeros_like(Tz[:1]), Tz[:-1]], axis=0)
+        Wxf = Wx.reshape((n,) + shp)
+        Wyf = Wy.reshape((n,) + shp)
+        Wzf = Wz.reshape((n,) + shp)
+
+        # 4. C[e_k] for k = 0..2^c-2 per window: within-group prefix at e_k
+        #    plus the exclusive sum of the groups before it
         ks = jnp.arange(nbuck - 1, dtype=digits.dtype)          # (255,)
         e = jax.vmap(lambda col: jnp.searchsorted(col, ks, side="right"),
                      in_axes=1, out_axes=1)(dsort) - 1          # (255, W)
         empty = e < 0
         idx = jnp.maximum(e, 0)[..., None]                      # (255, W, 1)
-        Gx = jnp.take_along_axis(Cx, jnp.broadcast_to(idx, idx.shape[:2] + (Cx.shape[-1],)), axis=0)
-        Gy = jnp.take_along_axis(Cy, jnp.broadcast_to(idx, idx.shape[:2] + (Cy.shape[-1],)), axis=0)
-        Gz = jnp.take_along_axis(Cz, jnp.broadcast_to(idx, idx.shape[:2] + (Cz.shape[-1],)), axis=0)
+
+        def bound_gather(Wf, T):
+            i1 = jnp.broadcast_to(idx, idx.shape[:2] + (Wf.shape[-1],))
+            i2 = jnp.broadcast_to(idx // g, idx.shape[:2] + (T.shape[-1],))
+            return (jnp.take_along_axis(Wf, i1, axis=0),
+                    jnp.take_along_axis(T, i2, axis=0))
+
+        wx, ex = bound_gather(Wxf, Ex)
+        wy, ey = bound_gather(Wyf, Ey)
+        wz, ez = bound_gather(Wzf, Ez)
+        Gx, Gy, Gz = self._add_impl((wx, wy, wz), (ex, ey, ez))
         Gz = jnp.where(empty[..., None], jnp.zeros_like(Gz), Gz)  # -> infinity
 
         # sum the 255 gathered prefixes per window (negated): last element
@@ -387,7 +433,7 @@ class Curve:
         negsum = (sums[0][-1], sums[1][-1], sums[2][-1])        # (W, L)
 
         # (2^c - 1) * C_tot  =  2^c * C_tot - C_tot
-        ctot = (Cx[-1], Cy[-1], Cz[-1])
+        ctot = (Tx[-1], Ty[-1], Tz[-1])
         m = self._double_n(ctot, c)
         m = self._add_impl(m, self.negate(ctot))
         Sx, Sy, Sz = self._add_impl(m, negsum)                  # (W, L)

@@ -144,7 +144,18 @@ class _CompiledCircuit:
         self.d = d
         self.r1cs = r1cs
         self.ntt = FrNtt(self.f, d)
-        self.ntt2 = FrNtt(self.f, 2 * d)
+        # psi twist tables for the cyclic product (see _pipeline).  Keeping
+        # every transform at size d (not 2d) halves peak HBM in the QAP leg
+        # — the 2d pipeline OOM-crashed the v5e worker at d = 2^16.
+        q = self.f.q
+        pows = [1] * d
+        for i in range(1, d):
+            pows[i] = pows[i - 1] * self.ntt.psi_inv % q
+        self._tw_inv = self.f.encode(pows)                   # psi^-i, (d, L)
+        for i in range(1, d):
+            pows[i] = pows[i - 1] * self.ntt.psi % q
+        self._tw_fwd = self.f.encode(pows)                   # psi^+k, (d, L)
+        self._inv2 = self.f.encode([pow(2, -1, q)])[0]
         kmax = 1
         for con in r1cs.constraints:
             for part in con:
@@ -179,14 +190,21 @@ class _CompiledCircuit:
         ae = self._eval_part(w, *self.tables[0])
         be = self._eval_part(w, *self.tables[1])
         ce = self._eval_part(w, *self.tables[2])
-        ok = jnp.all(f.eq(f.mul(ae, be), ce))
+        pe = f.mul(ae, be)
+        ok = jnp.all(f.eq(pe, ce))
+        # h = (A*B) div (x^d + 1) by upper-half CRT, all transforms size d:
+        #   Pn = A*B mod (x^d+1)  — pointwise in the existing psi domain,
+        #   Pc = A*B mod (x^d-1)  — psi-untwist, negacyclic mul, psi-retwist
+        #   (cyclic conv of a_i psi^-i is psi^-k times the negacyclic conv),
+        #   h_k = p_{d+k} = (Pc_k - Pn_k) / 2.
         A = self.ntt.interpolate(ae)
         B = self.ntt.interpolate(be)
-        z = jnp.zeros_like(A)
-        prod = self.ntt2.negacyclic_mul(
-            jnp.concatenate([A, z], axis=-2),
-            jnp.concatenate([B, z], axis=-2))
-        h = f.from_mont(prod[self.d:, :])       # canonical 8-bit digits
+        Pn = self.ntt.interpolate(pe)
+        Pc = f.mul(self.ntt.negacyclic_mul(f.mul(A, self._tw_inv),
+                                           f.mul(B, self._tw_inv)),
+                   self._tw_fwd)
+        h_mont = f.mul(f.sub(Pc, Pn), self._inv2)
+        h = f.from_mont(h_mont)                 # canonical 8-bit digits
         dd = h.reshape(self.d, -1, 4).astype(jnp.uint32)
         limbs = (dd[..., 0] | (dd[..., 1] << 8)
                  | (dd[..., 2] << 16) | (dd[..., 3] << 24))
@@ -220,12 +238,24 @@ class _CompiledCircuit:
             if ae[j] * be[j] % R != ce[j]:
                 raise ValueError(
                     "witness does not satisfy constraints (host)")
-        A = self.ntt.interpolate_ints(np.array(ae, dtype=object))
-        B = self.ntt.interpolate_ints(np.array(be, dtype=object))
-        z = np.zeros(d, dtype=object)
-        prod = self.ntt2.negacyclic_mul_ints(np.concatenate([A, z]),
-                                             np.concatenate([B, z]))
-        h = prod[d:]
+        # same size-d CRT pipeline as _pipeline, on host big ints
+        q = self.f.q
+        ntt = self.ntt
+        A = ntt.interpolate_ints(np.array(ae, dtype=object))
+        B = ntt.interpolate_ints(np.array(be, dtype=object))
+        Pn = ntt.interpolate_ints(
+            np.array([a * b % q for a, b in zip(ae, be)], dtype=object))
+        tw = [1] * d
+        for i in range(1, d):
+            tw[i] = tw[i - 1] * ntt.psi_inv % q
+        At = np.array([a * t % q for a, t in zip(A, tw)], dtype=object)
+        Bt = np.array([b * t % q for b, t in zip(B, tw)], dtype=object)
+        Pc_t = ntt.negacyclic_mul_ints(At, Bt)
+        for i in range(1, d):
+            tw[i] = tw[i - 1] * ntt.psi % q
+        inv2 = pow(2, -1, q)
+        h = [(int(pc) * t - int(pn)) % q * inv2 % q
+             for pc, t, pn in zip(Pc_t, tw, Pn)]
         buf = b"".join(int(x).to_bytes(32, "little") for x in h)
         return np.frombuffer(buf, dtype=np.uint32).reshape(d, 8).copy()
 
