@@ -5,13 +5,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Headline: TFHE programmable-bootstrap throughput at 128-bit security
 (n=630 LWE; GLWE lattice dimension k*N = 1024 — the reference's TFHE_128
 hardness, parameter_set.cpp:108-137) with the level-2 gadget (Bg=2^8,
-l=2), the MXU-optimal k=4/N=256 GLWE geometry (TFHE_BOOT_128_K4 —
+l=2) and the MXU-optimal k=4/N=256 GLWE geometry (TFHE_BOOT_128_K4 —
 2.56x fewer MACs than k=1/N=1024 at the same Module-LWE hardness; see
-its docstring for the noise analysis), and the auto-selected
-external-product backend (ops/pallas_cmux.py fused CMux kernel with
-precomputed Toeplitz tiles on TPU; XLA int8 MXU path elsewhere).
-The reference-shape k=1/N=1024 row lives in the committed suite
-(utils/bench_suite.py) next to this one.
+its docstring for the noise analysis).
 
 vs_baseline = bootstraps/s / 50: the reference's only bootstrap anchor is
 its "<20 ms per bootstrap" README claim on M4 Max (README.md:75,
@@ -36,17 +32,38 @@ impossible 31.35M/s through relay-side dispatch deduplication):
    times.
 3. **Physical plausibility guard.** One bootstrap at this shape costs
    n * (l*(k+1)*N) * ((k+1)*4*N) int8 MACs on the MXU path
-   (8.26 GMAC at n=630, N=256, k=4, l=2; 21.1 at the k=1/N=1024 shape).  The guard computes the
+   (8.26 GMAC at n=630, N=256, k=4, l=2).  The guard computes the
    device's int8 peak (device_kind table below) and REFUSES to print any
    rate above ceiling = peak_MACs/s / MACs_per_bootstrap (~23.8K/s on one
-   v5e at the k=4 geometry) — an impossible number now exits 2 with an error JSON instead of
-   becoming the round's artifact.
+   v5e at the k=4 geometry) — an impossible number exits 2 with an error
+   JSON instead of becoming the round's artifact.
 
-The run is honest end-to-end: real BSK keygen, real LWE encrypt, timed
-jitted chained bootstraps over a batch of 4096, and a full
-decode-correctness check against the plaintexts AFTER timing (any
-device->host transfer before the loop would poison the axon dispatch
-path — see docs/OPERATIONS.md).
+Cold-start hardening (round 4, after BENCH_r03 was rc=124/no output —
+the round-3 adaptive-dispatch + prepare_bsk + keygen compile stack
+exceeded the driver's budget from a cold cache):
+
+4. **Total-runtime watchdog.** A deadline thread (NFA_BENCH_DEADLINE_S,
+   default 480 s) ALWAYS emits a JSON line before any plausible driver
+   timeout: the ceiling-guarded rate over however many chained
+   iterations completed, or an explanatory error naming the phase that
+   was still running.  bench.py can no longer end a round with zero
+   artifacts (VERDICT r3 weak #1).
+5. **Pinned backend.** The external-product backend is read from the
+   committed dispatch record (benchmark_results/dispatch_pbs.json,
+   written from hardware runs) instead of racing two backends' compiles
+   at startup; NFA_BENCH_BACKEND overrides.  The adaptive race stays
+   available in the library (TfheEngine ext_backend="auto") where a
+   warm service can afford it.
+6. **Warm-start artifacts.** The deterministic seed-0 BSK is stored to
+   .keycache/ and the XLA persistent compile cache to .xla_cache/
+   (both committed), so the driver's run skips keygen and the
+   minutes-scale axon remote compiles entirely.  On a cache miss the
+   BSK is generated, stored, and RELOADED from the blob before the
+   timed loop (fresh h2d upload, no stale host-sync state).
+
+The run is honest end-to-end: real BSK keygen/load, real LWE encrypt,
+timed jitted chained bootstraps over a batch of 4096, and a full
+decode-correctness check against the plaintexts AFTER timing.
 
 Secondary metrics (NTT throughput etc.) live in the committed benchmark
 suite: `python -m node_fhe_accelerate_tpu.utils.bench_suite` writes the
@@ -60,34 +77,110 @@ import os
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_METRIC = "pbs_throughput_tfhe128_n630_kN1024"
+BASELINE_BOOTSTRAPS_PER_SEC = 50.0  # M4 Max, <20ms/bootstrap (README.md:75)
+
+# ----------------------------------------------------------------------
+# Progress state shared with the watchdogs.  The timed loop appends each
+# completed iteration's wall time; the deadline thread can therefore
+# always compute an honest partial rate (chained + d2h-forced, so every
+# recorded iteration really executed).
+# ----------------------------------------------------------------------
+_state = {
+    "phase": "startup",          # human-readable phase for error JSONs
+    "batch": 0,
+    "iter_times": [],            # completed timed-loop iterations (s)
+    "ceiling": None,             # physical rate ceiling once known
+    "emitted": False,
+}
+_state_lock = threading.Lock()
+
+
+def _set_phase(phase: str):
+    with _state_lock:
+        _state["phase"] = phase
+    print(f"[bench] phase: {phase} t={time.perf_counter() - _T0:.1f}s",
+          file=sys.stderr, flush=True)
+
+
+def _emit(value, vs_baseline, error=None, code=0, extra=None):
+    with _state_lock:
+        if _state["emitted"]:
+            return
+        _state["emitted"] = True
+    rec = {"metric": _METRIC, "value": value, "unit": "bootstraps/s",
+           "vs_baseline": vs_baseline}
+    if error:
+        rec["error"] = error
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
+    if code:
+        os._exit(code)
+
+
+def _partial_emit(reason: str):
+    """Best-effort JSON from whatever the chained loop completed."""
+    with _state_lock:
+        times = list(_state["iter_times"])
+        batch = _state["batch"]
+        ceiling = _state["ceiling"]
+        phase = _state["phase"]
+    if times and batch:
+        rate = batch * len(times) / sum(times)
+        if ceiling is not None and rate > ceiling:
+            _emit(0.0, 0.0, error=f"implausible partial rate {rate:.1f}/s "
+                  f"exceeds ceiling {ceiling:.1f}/s ({reason})", code=2)
+        _emit(round(rate, 1), round(rate / BASELINE_BOOTSTRAPS_PER_SEC, 2),
+              extra={"note": f"partial: {len(times)} chained iterations "
+                             f"({reason}); decode check not reached"},
+              code=0)
+    else:
+        _emit(0.0, 0.0, error=f"{reason} while in phase '{phase}' — no "
+              "timed iteration completed", code=3)
+    os._exit(0)
+
+
+_T0 = time.perf_counter()
+
+# Total-runtime deadline: ALWAYS produce an artifact before the driver's
+# budget.  480 s default leaves margin under any >=10-min driver timeout.
+_DEADLINE_S = float(os.environ.get("NFA_BENCH_DEADLINE_S", "480"))
+
+
+def _deadline_watchdog():
+    remaining = _DEADLINE_S - (time.perf_counter() - _T0)
+    if remaining > 0:
+        time.sleep(remaining)
+    _partial_emit(f"deadline {_DEADLINE_S:.0f}s reached")
+
+
+threading.Thread(target=_deadline_watchdog, daemon=True).start()
+
 # Device-init watchdog: when the axon relay is down, jax.devices() hangs
 # FOREVER (no error) — observed 2026-08-18.  Emit an explanatory JSON line
 # instead of letting the driver time out with no artifact.
 _init_done = threading.Event()
 
 
-def _watchdog(limit_s: float = 300.0):
+def _init_watchdog(limit_s: float = 240.0):
     if not _init_done.wait(limit_s):
-        print(json.dumps({
-            "metric": "pbs_throughput_tfhe128_n630_kN1024", "value": 0.0,
-            "unit": "bootstraps/s", "vs_baseline": 0.0,
-            "error": f"device init exceeded {limit_s:.0f}s — axon tunnel "
-                     "down (jax.devices() hang)",
-        }), flush=True)
-        os._exit(3)
+        _emit(0.0, 0.0, error=f"device init exceeded {limit_s:.0f}s — axon "
+              "tunnel down (jax.devices() hang)", code=3)
 
 
-threading.Thread(target=_watchdog, daemon=True).start()
+threading.Thread(target=_init_watchdog, daemon=True).start()
 
+_set_phase("jax import + device init")
 import numpy as np
 import jax
 
 # Persistent XLA compilation cache: bootstrap-program compiles are
-# minutes-scale through the axon remote-compile path; repeat bench runs
-# (and the driver's round-end run) skip them entirely on a warm cache.
+# minutes-scale through the axon remote-compile path; the committed
+# .xla_cache makes the driver's round-end run warm.
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               ".xla_cache"))
+                  os.path.join(_REPO, ".xla_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 jax.devices()            # force backend init under the watchdog
@@ -96,8 +189,6 @@ _init_done.set()
 import jax.numpy as jnp
 
 from node_fhe_accelerate_tpu.core.bootstrap import TfheEngine, TFHE_BOOT_128_K4
-
-BASELINE_BOOTSTRAPS_PER_SEC = 50.0  # M4 Max, <20ms/bootstrap (README.md:75)
 
 # Peak int8 MAC/s by TPU generation (one MAC = 2 ops; vendor peaks are
 # quoted in int8 OPS: v4 275T, v5e 394T, v5p 918T, v6e 1836T).  Unknown
@@ -127,32 +218,57 @@ def macs_per_bootstrap(p) -> float:
         (k1 * 4 * p.poly_degree)
 
 
+def _pinned_backend() -> str:
+    """Backend from env > committed dispatch record > 'mxu'.
+
+    The dispatch record is written by scripts/ab_pallas.py hardware runs
+    (the adaptive dispatcher's measured winner); reading it here keeps
+    the bench on the fastest backend WITHOUT paying a second backend's
+    cold compile at startup (VERDICT r3 next-round #1b)."""
+    env = os.environ.get("NFA_BENCH_BACKEND")
+    if env:
+        return env
+    try:
+        with open(os.path.join(_REPO, "benchmark_results",
+                               "dispatch_pbs.json")) as f:
+            rec = json.load(f)
+        return rec["winner"]
+    except Exception:
+        return "mxu"
+
+
 def main():
     batch = 4096
     p = TFHE_BOOT_128_K4()
-    eng = TfheEngine(p)   # auto backend: fused Pallas CMux on TPU
+    backend = _pinned_backend()
+    eng = TfheEngine(p, ext_backend=backend)
 
     dev = jax.devices()[0]
     ceiling = _int8_peak_macs(dev) / macs_per_bootstrap(p)
+    with _state_lock:
+        _state["batch"] = batch
+        _state["ceiling"] = ceiling
 
-    # BSK disk cache: repeat runs skip the ~minutes keygen.  On a miss the
-    # key is generated now but STORED only after the timed loop — store()
-    # reads the whole BSK back to host, and any d2h before timing poisons
-    # the axon dispatch path.
+    # BSK disk cache: repeat runs (and the driver's round-end run, via the
+    # committed .keycache) skip the ~minutes keygen.  On a miss the key is
+    # generated, stored, and RELOADED from the blob so the timed loop
+    # always starts from a fresh host->device upload.
     from node_fhe_accelerate_tpu.core.keycache import BootstrapKeyCache
-    cache = BootstrapKeyCache(os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), ".keycache"))
+    cache = BootstrapKeyCache(os.path.join(_REPO, ".keycache"))
+    _set_phase("BSK load (.keycache)")
     lwe_sk, glwe_sk, bsk = cache.load(eng, 0)
-    bsk_was_cached = bsk is not None
     if bsk is None:
+        _set_phase("BSK keygen (cache miss; jit compile + run)")
         bsk = eng.generate_bootstrap_key(
             jax.random.fold_in(jax.random.PRNGKey(0), 2), lwe_sk, glwe_sk)
-    bsk_raw = bsk
-    # one-time Toeplitz tile precompute — keeps the per-step expansion off
-    # the blind-rotate critical path (core/bootstrap.py prepare_bsk;
-    # +5.6% measured on v5e, and the tiles live with the key)
-    bsk = eng.prepare_bsk(bsk)
-    jax.block_until_ready(bsk.ggsw_i8)
+        cache.store(eng, 0, bsk)
+        _set_phase("BSK reload from blob")
+        _, _, bsk = cache.load(eng, 0)
+        assert bsk is not None
+    if backend == "pallas" and bsk.ggsw_tiles is None:
+        _set_phase("prepare_bsk (pallas tiles)")
+        bsk = eng.prepare_bsk(bsk)
+        jax.block_until_ready(bsk.ggsw_i8)
 
     msgs = jnp.arange(batch, dtype=jnp.uint32) % 2
     ct = eng.lwe_encrypt(jax.random.PRNGKey(100), msgs, lwe_sk)
@@ -162,61 +278,51 @@ def main():
     # bootstrap output and input are both n-dim LWE batches).  The 8-byte
     # d2h is what actually forces completion — block_until_ready is a
     # no-op on the axon relay (see module docstring).
+    _set_phase("bootstrap program compile + warmup")
     ct = eng.bootstrap_jit(ct, bsk, tp)
     np.asarray(ct.b[:2])
 
     # Timed CHAINED loop: each input is the previous output, and each
     # iteration is closed by a tiny d2h read of its output (full-chain
     # data dependency + forced execution; the 8-byte transfer is
-    # negligible vs the ~1 s of compute per iteration).
+    # negligible vs the ~0.5 s of compute per iteration).
+    _set_phase("timed chained loop")
     iters = 5
-    times = []
     t_total0 = time.perf_counter()
     for _ in range(iters):
         t0 = time.perf_counter()
         ct = eng.bootstrap_jit(ct, bsk, tp)
         np.asarray(ct.b[:2])
-        times.append(time.perf_counter() - t0)
+        with _state_lock:
+            _state["iter_times"].append(time.perf_counter() - t0)
     dt = time.perf_counter() - t_total0
+    _set_phase("decode check")
 
-    # Correctness check (d2h only after the timed loop).  The identity
-    # LUT preserves the message, so the decode only passes if every
-    # chained hop performed a real bootstrap.
-    if not bsk_was_cached:
-        cache.store(eng, 0, bsk_raw)
+    # Correctness check (full d2h only after the timed loop).  The
+    # identity LUT preserves the message, so the decode only passes if
+    # every chained hop performed a real bootstrap.
     dec = np.asarray(eng.lwe_decrypt(ct, lwe_sk))
     if not np.array_equal(dec, np.asarray(msgs)):
-        print(json.dumps({"metric": "pbs_throughput_tfhe128_n630_kN1024",
-                          "value": 0.0, "unit": "bootstraps/s",
-                          "vs_baseline": 0.0,
-                          "error": "decode mismatch after chained loop"}))
-        sys.exit(1)
+        _emit(0.0, 0.0, error="decode mismatch after chained loop", code=1)
 
     rate = batch * iters / dt
     mfu = rate * macs_per_bootstrap(p) / _int8_peak_macs(dev)
+    with _state_lock:
+        times = list(_state["iter_times"])
     print(f"device={dev.device_kind!r} backend={eng.backend} "
           f"batch={batch} iters={iters} "
           f"per-iter times: {[round(t, 4) for t in times]} "
-          f"ceiling={ceiling:.1f}/s int8-MFU={mfu:.1%}",
+          f"ceiling={ceiling:.1f}/s int8-MFU={mfu:.1%} "
+          f"total_wall={time.perf_counter() - _T0:.1f}s",
           file=sys.stderr, flush=True)
 
     if rate > ceiling:
-        print(json.dumps({
-            "metric": "pbs_throughput_tfhe128_n630_kN1024", "value": 0.0,
-            "unit": "bootstraps/s", "vs_baseline": 0.0,
-            "error": f"implausible rate {rate:.1f}/s exceeds the device's "
-                     f"int8-peak ceiling {ceiling:.1f}/s "
-                     f"({macs_per_bootstrap(p) / 1e9:.1f} GMAC/bootstrap on "
-                     f"{dev.device_kind}) — measurement rejected",
-        }), flush=True)
-        sys.exit(2)
+        _emit(0.0, 0.0, error=f"implausible rate {rate:.1f}/s exceeds the "
+              f"device's int8-peak ceiling {ceiling:.1f}/s "
+              f"({macs_per_bootstrap(p) / 1e9:.1f} GMAC/bootstrap on "
+              f"{dev.device_kind}) — measurement rejected", code=2)
 
-    print(json.dumps({
-        "metric": "pbs_throughput_tfhe128_n630_kN1024",
-        "value": round(rate, 1),
-        "unit": "bootstraps/s",
-        "vs_baseline": round(rate / BASELINE_BOOTSTRAPS_PER_SEC, 2),
-    }))
+    _emit(round(rate, 1), round(rate / BASELINE_BOOTSTRAPS_PER_SEC, 2))
 
 
 if __name__ == "__main__":
