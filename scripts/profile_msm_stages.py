@@ -11,8 +11,11 @@ axon relay, where only d2h forces execution).
 
 Run: python scripts/profile_msm_stages.py [n]
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from functools import partial
 
 import numpy as np
