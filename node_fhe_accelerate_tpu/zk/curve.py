@@ -123,6 +123,84 @@ def _host_pippenger(q: int, scalars: list, jac_pts: list, c: int = 8) -> tuple:
     return acc
 
 
+# ---------------------------------------------------------------------------
+# Branchless Jacobian group-law FORMULAS, parameterized over a field-ops
+# object `f` (add/sub/mul/square/neg/is_zero/select).  Extracted from the
+# Curve methods so the fused Pallas point kernels (ops/digits_pallas.py)
+# evaluate the IDENTICAL algebra on VMEM-resident values — bit-exactness
+# between the XLA and Pallas paths is by construction, and tests assert it.
+# ---------------------------------------------------------------------------
+
+
+def jdbl_formula(f, p):
+    """dbl-2009-l for a=0: 3M + 5S (zk_elliptic_curve.cpp double)."""
+    X, Y, Z = p
+    A = f.square(X)
+    B = f.square(Y)
+    C = f.square(B)
+    t = f.square(f.add(X, B))
+    D = f.add(f.sub(f.sub(t, A), C), f.sub(f.sub(t, A), C))  # 2(t-A-C)
+    E = f.add(f.add(A, A), A)                                 # 3A
+    F = f.square(E)
+    X3 = f.sub(F, f.add(D, D))
+    eight_c = f.add(f.add(f.add(C, C), f.add(C, C)),
+                    f.add(f.add(C, C), f.add(C, C)))
+    Y3 = f.sub(f.mul(E, f.sub(D, X3)), eight_c)
+    Z3 = f.mul(f.add(Y, Y), Z)
+    # Doubling infinity stays infinity (Z=0 -> Z3=0 automatically)
+    return (X3, Y3, Z3)
+
+
+def jadd_formula(f, p, q, select, where_zero):
+    """add-2007-bl with doubling/infinity cases resolved by masks.
+
+    `select(pred, a, b)` picks per-element between same-shape digit
+    arrays; `where_zero(pred, a)` zeroes a where pred (for the
+    to-infinity case).  Split out so the Pallas kernel can supply its
+    in-VMEM implementations."""
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    Z1Z1 = f.square(Z1)
+    Z2Z2 = f.square(Z2)
+    U1 = f.mul(X1, Z2Z2)
+    U2 = f.mul(X2, Z1Z1)
+    S1 = f.mul(Y1, f.mul(Z2, Z2Z2))
+    S2 = f.mul(Y2, f.mul(Z1, Z1Z1))
+    H = f.sub(U2, U1)
+    rr = f.add(f.sub(S2, S1), f.sub(S2, S1))      # r = 2(S2-S1)
+    I = f.square(f.add(H, H))
+    J = f.mul(H, I)
+    V = f.mul(U1, I)
+    X3 = f.sub(f.sub(f.square(rr), J), f.add(V, V))
+    Y3 = f.sub(f.mul(rr, f.sub(V, X3)),
+               f.add(f.mul(S1, J), f.mul(S1, J)))
+    # Z3 = ((Z1+Z2)^2 - Z1Z1 - Z2Z2) * H = 2 Z1 Z2 H, consistent with
+    # r = 2(S2-S1) and I = (2H)^2 per add-2007-bl.
+    Z3 = f.mul(f.sub(f.sub(f.square(f.add(Z1, Z2)), Z1Z1), Z2Z2), H)
+
+    same_x = f.is_zero(H)
+    same_y = f.is_zero(f.sub(S2, S1))
+    p_inf = f.is_zero(Z1)
+    q_inf = f.is_zero(Z2)
+
+    dbl = jdbl_formula(f, p)
+    use_dbl = same_x & same_y & ~p_inf & ~q_inf
+    to_inf = same_x & ~same_y & ~p_inf & ~q_inf
+
+    X3 = select(use_dbl, dbl[0], X3)
+    Y3 = select(use_dbl, dbl[1], Y3)
+    Z3 = select(use_dbl, dbl[2], Z3)
+    Z3 = where_zero(to_inf, Z3)
+    # p or q at infinity -> the other operand
+    X3 = select(p_inf, X2, X3)
+    Y3 = select(p_inf, Y2, Y3)
+    Z3 = select(p_inf, Z2, Z3)
+    X3 = select(q_inf, X1, X3)
+    Y3 = select(q_inf, Y1, Y3)
+    Z3 = select(q_inf, Z1, Z3)
+    return (X3, Y3, Z3)
+
+
 class Curve:
     """y^2 = x^3 + b over fq; scalar field order r."""
 
@@ -199,69 +277,44 @@ class Curve:
         return (y * y - (x * x * x + self.b)) % q == 0
 
     # -- group law (branchless) ---------------------------------------------
+    def _pallas_geometry(self, p, q=None):
+        """Total point count if the fused Pallas point kernel applies,
+        else 0.  Applies on G1 (base Field; G2's Fq2 stays on the XLA
+        path) for batches wide enough that the kernel's grid overhead
+        amortizes, with broadcast-compatible full-shape operands."""
+        import os
+        from .field import Field
+        if os.environ.get("NFA_PALLAS_CURVE", "1") == "0":
+            return 0
+        if type(self.fq) is not Field:
+            return 0
+        shapes = [x.shape for x in (p if q is None else p + q)]
+        if any(s != shapes[0] for s in shapes):
+            return 0            # broadcasting left to the XLA path
+        total = 1
+        for d in shapes[0][:-1]:
+            total *= d
+        return total if total >= 2048 and total % 8 == 0 else 0
+
     def _double_impl(self, p):
         """dbl-2009-l for a=0: 3M + 5S (zk_elliptic_curve.cpp double)."""
-        f = self.fq
-        X, Y, Z = p
-        A = f.square(X)
-        B = f.square(Y)
-        C = f.square(B)
-        t = f.square(f.add(X, B))
-        D = f.add(f.sub(f.sub(t, A), C), f.sub(f.sub(t, A), C))  # 2(t-A-C)
-        E = f.add(f.add(A, A), A)                                 # 3A
-        F = f.square(E)
-        X3 = f.sub(F, f.add(D, D))
-        eight_c = f.add(f.add(f.add(C, C), f.add(C, C)),
-                        f.add(f.add(C, C), f.add(C, C)))
-        Y3 = f.sub(f.mul(E, f.sub(D, X3)), eight_c)
-        Z3 = f.mul(f.add(Y, Y), Z)
-        # Doubling infinity stays infinity (Z=0 -> Z3=0 automatically)
-        return (X3, Y3, Z3)
+        n = self._pallas_geometry(p)
+        if n:
+            from ..ops.digits_pallas import pallas_jdbl
+            return pallas_jdbl(self.fq, p)
+        return jdbl_formula(self.fq, p)
 
     def _add_impl(self, p, q):
         """add-2007-bl with doubling/infinity cases resolved by masks."""
+        n = self._pallas_geometry(p, q)
+        if n:
+            from ..ops.digits_pallas import pallas_jadd
+            return pallas_jadd(self.fq, p, q)
         f = self.fq
-        X1, Y1, Z1 = p
-        X2, Y2, Z2 = q
-        Z1Z1 = f.square(Z1)
-        Z2Z2 = f.square(Z2)
-        U1 = f.mul(X1, Z2Z2)
-        U2 = f.mul(X2, Z1Z1)
-        S1 = f.mul(Y1, f.mul(Z2, Z2Z2))
-        S2 = f.mul(Y2, f.mul(Z1, Z1Z1))
-        H = f.sub(U2, U1)
-        rr = f.add(f.sub(S2, S1), f.sub(S2, S1))      # r = 2(S2-S1)
-        I = f.square(f.add(H, H))
-        J = f.mul(H, I)
-        V = f.mul(U1, I)
-        X3 = f.sub(f.sub(f.square(rr), J), f.add(V, V))
-        Y3 = f.sub(f.mul(rr, f.sub(V, X3)),
-                   f.add(f.mul(S1, J), f.mul(S1, J)))
-        # Z3 = ((Z1+Z2)^2 - Z1Z1 - Z2Z2) * H = 2 Z1 Z2 H, consistent with
-        # r = 2(S2-S1) and I = (2H)^2 per add-2007-bl.
-        Z3 = f.mul(f.sub(f.sub(f.square(f.add(Z1, Z2)), Z1Z1), Z2Z2), H)
-
-        same_x = f.is_zero(H)
-        same_y = f.is_zero(f.sub(S2, S1))
-        p_inf = f.is_zero(Z1)
-        q_inf = f.is_zero(Z2)
-
-        dbl = self._double_impl(p)
-        use_dbl = same_x & same_y & ~p_inf & ~q_inf
-        to_inf = same_x & ~same_y & ~p_inf & ~q_inf
-
-        X3 = f.select(use_dbl, dbl[0], X3)
-        Y3 = f.select(use_dbl, dbl[1], Y3)
-        Z3 = f.select(use_dbl, dbl[2], Z3)
-        Z3 = f.select(to_inf, jnp.zeros_like(Z3), Z3)
-        # p or q at infinity -> the other operand
-        X3 = f.select(p_inf, X2, X3)
-        Y3 = f.select(p_inf, Y2, Y3)
-        Z3 = f.select(p_inf, Z2, Z3)
-        X3 = f.select(q_inf, X1, X3)
-        Y3 = f.select(q_inf, Y1, Y3)
-        Z3 = f.select(q_inf, Z1, Z3)
-        return (X3, Y3, Z3)
+        return jadd_formula(
+            f, p, q,
+            select=f.select,
+            where_zero=lambda pred, a: f.select(pred, jnp.zeros_like(a), a))
 
     def negate(self, p):
         X, Y, Z = p

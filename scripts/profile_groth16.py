@@ -4,8 +4,11 @@ Times each prove phase separately (h-pipeline, G1 MSMs, G2 MSM, host
 conversions) to locate the real bottleneck behind the 36.8s/2^12 number
 in benchmark_results/zk.csv.  Run: python scripts/profile_groth16.py [log_m]
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

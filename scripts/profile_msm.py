@@ -3,8 +3,11 @@
 Usage: python scripts/profile_msm.py [n ...]   (default 4096 16384)
 Compares against the committed zk.csv row (msm_bn254_4096: 1.177s).
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
