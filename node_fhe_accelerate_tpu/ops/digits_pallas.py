@@ -6,15 +6,30 @@ Why: profiling the device Pippenger (scripts/profile_msm_stages.py, v5e
 convolution (ops/digits.py conv_full) is ~30 chained mul+pad+add passes
 plus carry scans, and at MSM widths XLA materializes the (B, 64)
 intermediates between passes, so every field multiply makes ~35 round
-trips through HBM.  These kernels keep the whole multiply — and for the
-point kernels the whole Jacobian group op (~16 multiplies) — resident in
-VMEM: one HBM read of the operands, one write of the result.
+trips through HBM.  The `pallas_field_mul` kernel keeps one whole
+Montgomery multiply resident in VMEM: one HBM read of the operands, one
+write of the result.
+
+Granularity (measured, v5e 2026-08-20): a SINGLE fused multiply
+compiles in ~6 s; a fully-fused Jacobian add (~23 multiplies inlined
+into one kernel) did not finish Mosaic compilation in 40 minutes — the
+backend's compile time is super-linear in unrolled kernel size, and
+in-kernel `fori_loop` over conv taps needs dynamic `roll`/column
+extraction, which the Mosaic pipeline rejects (dynamic_slice) or
+crashes on.  So the group-law entry points below fuse at the FIELD-MUL
+level instead: every data-independent level of the add-2007-bl/
+dbl-2009-l dataflow becomes ONE stacked `pallas_field_mul` call (rows
+of all the level's operand pairs concatenated), and the cheap digit
+add/sub/select glue stays in XLA, which fuses it between kernel calls.
+A 131k-point Jacobian add is then 6 kernel dispatches moving
+~3 x 16 MB each instead of ~35 HBM round trips per multiply.
 
 Algebra is IDENTICAL to ops/digits.py + zk/field.py (Montgomery with
-R = 2^(8D), strict canonical digits in/out); the group-law kernels
-evaluate zk/curve.py's `jadd_formula`/`jdbl_formula` with this module's
-in-VMEM field ops, so XLA/Pallas bit-exactness is by construction and
-asserted by tests/test_digits_pallas.py.
+R = 2^(8D), strict canonical digits in/out); the level schedules
+evaluate exactly the operations of zk/curve.py's
+`jadd_formula`/`jdbl_formula` — every field op maps canonical inputs to
+the canonical result, so XLA/Pallas bit-exactness holds per-op (not
+just per-formula) and is asserted by tests/test_digits_pallas.py.
 
 In-kernel building blocks (all lane-axis ops, digits minor):
 
@@ -50,6 +65,15 @@ def _roll(x, k: int):
 
 def _lane(shape):
     return jax.lax.broadcasted_iota(I32, shape, len(shape) - 1)
+
+
+def _last_col(x):
+    """x[..., -1] as a STATIC slice + squeeze.  Scalar integer indexing
+    lowers to `dynamic_slice`, which Mosaic does not implement inside TC
+    kernels — this was invisible in CPU interpret mode."""
+    W = x.shape[-1]
+    return jax.lax.squeeze(
+        jax.lax.slice_in_dim(x, W - 1, W, axis=x.ndim - 1), (x.ndim - 1,))
 
 
 class _KernelField:
@@ -100,11 +124,11 @@ class _KernelField:
         the value bound makes it meaningful, exactly as ops/digits.py)."""
         W = x.shape[-1]
         lane = _lane(x.shape)
-        dropped = jnp.zeros_like(x[..., 0])
+        dropped = jnp.zeros(x.shape[:-1], x.dtype)
         for _ in range(rounds):
             lo = x & 255
             hi = x >> 8
-            dropped = dropped + hi[..., -1]
+            dropped = dropped + _last_col(hi)
             hi_r = jnp.where(lane == 0, 0, _roll(hi, 1))
             x = lo + hi_r
         s = x
@@ -120,7 +144,7 @@ class _KernelField:
         carry_of = gp > kp
         c = jnp.where(lane == 0, 0, _roll(carry_of.astype(I32), 1))
         out = (s + c) & 255
-        return out, dropped + carry_of[..., -1].astype(I32)
+        return out, dropped + _last_col(carry_of).astype(I32)
 
     # -- digit-array ops -----------------------------------------------------
     def _add_digits(self, a, b, plus_one=False):
@@ -238,8 +262,6 @@ def _point_call(field, kernel_body, inputs, n_out):
 
 
 _mul_cache: dict = {}
-_jadd_cache: dict = {}
-_jdbl_cache: dict = {}
 
 
 def pallas_field_mul(field, a, b):
@@ -254,39 +276,113 @@ def pallas_field_mul(field, a, b):
     return _point_call(field, kernel, [a, b], 1)[0]
 
 
+def pallas_field_mul_pairs(field, pairs):
+    """k independent multiplies as ONE kernel dispatch: the (a_i, b_i)
+    pairs (identical shapes) are row-stacked, multiplied by the same
+    fused kernel, and split back.  This is the batching unit of the
+    level-scheduled group-law ops below — one dispatch + one HBM round
+    trip per dataflow level instead of per multiply."""
+    a0 = pairs[0][0]
+    batch = a0.shape[:-1]
+    D = a0.shape[-1]
+    B = 1
+    for d in batch:
+        B *= d
+    A = jnp.concatenate([a.reshape(B, D) for a, _ in pairs], axis=0)
+    Bc = jnp.concatenate([b.reshape(B, D) for _, b in pairs], axis=0)
+    out = pallas_field_mul(field, A, Bc)
+    return tuple(out[i * B:(i + 1) * B].reshape(batch + (D,))
+                 for i in range(len(pairs)))
+
+
 def pallas_jadd(field, p, q):
-    """Fused branchless Jacobian add: zk/curve.py jadd_formula evaluated
-    entirely in VMEM (one HBM round trip for ~16 field multiplies)."""
-    kf = _jadd_cache.get(field.q)
-    if kf is None:
-        kf = _jadd_cache[field.q] = _KernelField(field)
-    from ..zk.curve import jadd_formula
+    """Branchless Jacobian add (add-2007-bl + dbl/infinity masks, the
+    exact algebra of zk/curve.py `jadd_formula`), with every multiply
+    routed through stacked fused-mul kernels in 6 dataflow levels:
 
-    def kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz):
-        P = (x1[:], y1[:], z1[:])
-        Q = (x2[:], y2[:], z2[:])
-        X3, Y3, Z3 = jadd_formula(
-            kf, P, Q, select=kf.select,
-            where_zero=lambda pred, a: jnp.where(pred[..., None],
-                                                 jnp.zeros_like(a), a))
-        ox[:] = X3
-        oy[:] = Y3
-        oz[:] = Z3
+      L1  Z1^2, Z2^2, X1^2, Y1^2, (Z1+Z2)^2, 2Y1*Z1      (add + dbl prep)
+      L2  U1, U2, Z2*Z2Z2, Z1*Z1Z1, B^2, (X1+B)^2
+      L3  S1, S2, E^2
+      L4  (2H)^2, rr^2, E*(D-X3d)
+      L5  H*I, U1*I, Z3
+      L6  S1*J, rr*(V-X3)
 
-    return _point_call(field, kernel, list(p) + list(q), 3)
+    Every field op is canonical-in/canonical-out, so the results are
+    bit-identical to the XLA path regardless of scheduling."""
+    f = field
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    M = lambda prs: pallas_field_mul_pairs(field, prs)    # noqa: E731
+
+    Z1pZ2 = f.add(Z1, Z2)
+    Y1x2 = f.add(Y1, Y1)
+    Z1Z1, Z2Z2, A, B, SS, dZ3 = M([
+        (Z1, Z1), (Z2, Z2), (X1, X1), (Y1, Y1), (Z1pZ2, Z1pZ2),
+        (Y1x2, Z1)])
+    X1B = f.add(X1, B)
+    U1, U2, Za, Zb, C, tt = M([
+        (X1, Z2Z2), (X2, Z1Z1), (Z2, Z2Z2), (Z1, Z1Z1), (B, B),
+        (X1B, X1B)])
+    E = f.add(f.add(A, A), A)
+    tAC = f.sub(f.sub(tt, A), C)
+    Dd = f.add(tAC, tAC)
+    S1, S2, F = M([(Y1, Za), (Y2, Zb), (E, E)])
+    H = f.sub(U2, U1)
+    S2mS1 = f.sub(S2, S1)
+    rr = f.add(S2mS1, S2mS1)
+    H2 = f.add(H, H)
+    X3d = f.sub(F, f.add(Dd, Dd))
+    DmX3 = f.sub(Dd, X3d)
+    I, RR, EDX = M([(H2, H2), (rr, rr), (E, DmX3)])
+    ZZm = f.sub(f.sub(SS, Z1Z1), Z2Z2)
+    J, V, Z3 = M([(H, I), (U1, I), (ZZm, H)])
+    X3 = f.sub(f.sub(RR, J), f.add(V, V))
+    VmX3 = f.sub(V, X3)
+    S1J, rV = M([(S1, J), (rr, VmX3)])
+    Y3 = f.sub(rV, f.add(S1J, S1J))
+
+    # doubling-path outputs (dbl-2009-l on p, same terms as jdbl_formula)
+    eightC = f.add(f.add(f.add(C, C), f.add(C, C)),
+                   f.add(f.add(C, C), f.add(C, C)))
+    dY3 = f.sub(EDX, eightC)
+
+    same_x = f.is_zero(H)
+    same_y = f.is_zero(S2mS1)
+    p_inf = f.is_zero(Z1)
+    q_inf = f.is_zero(Z2)
+    use_dbl = same_x & same_y & ~p_inf & ~q_inf
+    to_inf = same_x & ~same_y & ~p_inf & ~q_inf
+
+    X3 = f.select(use_dbl, X3d, X3)
+    Y3 = f.select(use_dbl, dY3, Y3)
+    Z3 = f.select(use_dbl, dZ3, Z3)
+    Z3 = f.select(to_inf, jnp.zeros_like(Z3), Z3)
+    X3 = f.select(p_inf, X2, X3)
+    Y3 = f.select(p_inf, Y2, Y3)
+    Z3 = f.select(p_inf, Z2, Z3)
+    X3 = f.select(q_inf, X1, X3)
+    Y3 = f.select(q_inf, Y1, Y3)
+    Z3 = f.select(q_inf, Z1, Z3)
+    return (X3, Y3, Z3)
 
 
 def pallas_jdbl(field, p):
-    """Fused Jacobian double (dbl-2009-l) in VMEM."""
-    kf = _jdbl_cache.get(field.q)
-    if kf is None:
-        kf = _jdbl_cache[field.q] = _KernelField(field)
-    from ..zk.curve import jdbl_formula
+    """Jacobian double (dbl-2009-l), multiplies in 4 stacked levels."""
+    f = field
+    X, Y, Z = p
+    M = lambda prs: pallas_field_mul_pairs(field, prs)    # noqa: E731
 
-    def kernel(x, y, z, ox, oy, oz):
-        X3, Y3, Z3 = jdbl_formula(kf, (x[:], y[:], z[:]))
-        ox[:] = X3
-        oy[:] = Y3
-        oz[:] = Z3
-
-    return _point_call(field, kernel, list(p), 3)
+    Yx2 = f.add(Y, Y)
+    A, B, Z3 = M([(X, X), (Y, Y), (Yx2, Z)])
+    XB = f.add(X, B)
+    C, tt = M([(B, B), (XB, XB)])
+    tAC = f.sub(f.sub(tt, A), C)
+    Dd = f.add(tAC, tAC)
+    E = f.add(f.add(A, A), A)
+    (F,) = M([(E, E)])
+    X3 = f.sub(F, f.add(Dd, Dd))
+    (EDX,) = M([(E, f.sub(Dd, X3))])
+    eightC = f.add(f.add(f.add(C, C), f.add(C, C)),
+                   f.add(f.add(C, C), f.add(C, C)))
+    Y3 = f.sub(EDX, eightC)
+    return (X3, Y3, Z3)

@@ -279,12 +279,18 @@ class Curve:
     # -- group law (branchless) ---------------------------------------------
     def _pallas_geometry(self, p, q=None):
         """Total point count if the fused Pallas point kernel applies,
-        else 0.  Applies on G1 (base Field; G2's Fq2 stays on the XLA
-        path) for batches wide enough that the kernel's grid overhead
-        amortizes, with broadcast-compatible full-shape operands."""
+        else 0.  OPT-IN (NFA_PALLAS_CURVE=1): the hardware A/B on v5e
+        (2026-08-20, /tmp msm_time harness; recorded in ROUND_NOTES)
+        measured msm_bn254_4096 warm at 2.28 s with the level-stacked
+        Pallas point kernels vs 0.52 s pure-XLA, bit-identical results —
+        the (rows, 32)-digit tile layout uses 32 of 128 VPU lanes and
+        each dataflow level pays an HBM round trip that XLA's cross-op
+        fusion avoids.  Kept as the measured alternative + the
+        in-VMEM-reduce building block (pallas_field_mul); the default
+        stays the XLA path that wins on hardware."""
         import os
         from .field import Field
-        if os.environ.get("NFA_PALLAS_CURVE", "1") == "0":
+        if os.environ.get("NFA_PALLAS_CURVE", "0") == "0":
             return 0
         if type(self.fq) is not Field:
             return 0
@@ -646,6 +652,47 @@ class Curve:
             return (X[0], Y[0], Z[0])
 
         n = scalar_limbs.shape[0]
+        import os as _os
+        max_chunk = int(_os.environ.get("NFA_MSM_CHUNK", "16384"))
+        traced0 = isinstance(scalar_limbs, jax.core.Tracer)
+        # Binary-decomposition chunking (eager only): cover n with
+        # DESCENDING power-of-two chunks (each <= max_chunk) plus one
+        # small tail, summed with single point adds.  This replaces the
+        # old pad-to-next-pow2, which DOUBLED the work of the Groth16
+        # prove MSMs (n = m+2 / 2m+3 padded to 2m / 4m — measured 2x on
+        # every prove phase, scripts/profile_groth16.py v5e 2026-08-20),
+        # and it also bounds peak memory: the sort/prefix-scan pipeline
+        # materializes O(n * limbs * windows) int32 temporaries, which
+        # OOM'd the v5e at the 2^16-constraint prove before chunking.
+        # Chunk sizes are powers of two, so compiled shapes still dedupe
+        # across proof systems (4096/8192/16384 recur everywhere).
+        if not traced0 and n > 1024 and (n & (n - 1) or n > max_chunk):
+            spans = []
+            off = 0
+            rem = n
+            while rem >= 1024:
+                size = min(1 << (rem.bit_length() - 1), max_chunk)
+                spans.append((off, size))
+                off += size
+                rem -= size
+            if rem:
+                spans.append((off, rem))        # tail: recursive pad/ladder
+            acc = None
+            for o, sz in spans:
+                part = self.msm(
+                    scalar_limbs[o:o + sz],
+                    (points[0][o:o + sz], points[1][o:o + sz],
+                     points[2][o:o + sz]),
+                    pad_pow2=True, min_pippenger=min_pippenger,
+                    backend="device")
+                if acc is None:
+                    acc = part
+                else:
+                    s = self.add((acc[0][None], acc[1][None], acc[2][None]),
+                                 (part[0][None], part[1][None],
+                                  part[2][None]))
+                    acc = (s[0][0], s[1][0], s[2][0])
+            return acc
         if pad_pow2 and n & (n - 1):
             size = 1 << (n - 1).bit_length()
             pad = size - n
@@ -658,32 +705,6 @@ class Curve:
                       jnp.concatenate([points[1], inf[1]]),
                       jnp.concatenate([points[2], inf[2]]))
         n_pad = scalar_limbs.shape[0]
-        # Chunk very large MSMs: the device Pippenger's sort/prefix-scan
-        # materializes O(n * limbs * windows) int32 temporaries (observed
-        # HBM OOM at the 2^16-constraint Groth16 prove); summing 16K-point
-        # chunks bounds peak memory at a negligible cost of one point add
-        # per chunk.
-        import os as _os
-        max_chunk = int(_os.environ.get("NFA_MSM_CHUNK", "16384"))
-        traced0 = isinstance(scalar_limbs, jax.core.Tracer)
-        if not traced0 and n_pad > max_chunk:
-            acc = None
-            for off in range(0, n_pad, max_chunk):
-                part = self.msm(
-                    scalar_limbs[off:off + max_chunk],
-                    (points[0][off:off + max_chunk],
-                     points[1][off:off + max_chunk],
-                     points[2][off:off + max_chunk]),
-                    pad_pow2=True, min_pippenger=min_pippenger,
-                    backend="device")
-                if acc is None:
-                    acc = part
-                else:
-                    s = self.add((acc[0][None], acc[1][None], acc[2][None]),
-                                 (part[0][None], part[1][None],
-                                  part[2][None]))
-                    acc = (s[0][0], s[1][0], s[2][0])
-            return acc
         jit_pip = getattr(self, "_jit_pippenger", None)
         if jit_pip is None:
             jit_pip = jax.jit(self._msm_pippenger_impl,

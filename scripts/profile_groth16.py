@@ -10,6 +10,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax as _jax_cfg
+_jax_cfg.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".xla_cache"))
+_jax_cfg.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import numpy as np
 import jax
 
