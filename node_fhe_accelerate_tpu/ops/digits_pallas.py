@@ -261,7 +261,156 @@ def _point_call(field, kernel_body, inputs, n_out):
     return tuple(o[:B].reshape(batch + (D,)) for o in out)
 
 
+class _KernelFieldT:
+    """Digits-on-SUBLANES twin of _KernelField: tiles are (W digits,
+    L lanes) with one field element per LANE COLUMN, so a (D, 512) block
+    fills all 128 VPU lanes (the (rows, D=32) layout of _KernelField
+    uses 32 of 128 — measured 4.4x loss vs XLA at MSM shapes).  Rolls
+    move along the sublane axis; per-tap column extraction is a STATIC
+    row slice a[i:i+1, :] (no dynamic_slice).  Same Montgomery algebra,
+    canonical digits in/out."""
+
+    def __init__(self, field):
+        self.D = int(field.n_limbs)
+        self.qd = [int(v) for v in np.asarray(field._q_digits_np)]
+        self.npd = [int(v) for v in np.asarray(field._np_digits_np)]
+
+    @staticmethod
+    def _sub_iota(shape):
+        return jax.lax.broadcasted_iota(I32, shape, 0)
+
+    @staticmethod
+    def _roll0(x, k: int):
+        return pltpu.roll(x, k % x.shape[0], axis=0)
+
+    def _conv_var(self, a, b, out):
+        D = self.D
+        L = a.shape[1]
+        bw = jnp.concatenate([b, jnp.zeros((out - D, L), I32)], axis=0) \
+            if out > D else b[:out]
+        acc = jnp.zeros((out, L), I32)
+        for i in range(min(D, out)):
+            acc = acc + self._roll0(bw, i) * a[i:i + 1, :]
+        return acc
+
+    def _conv_const(self, a, const, out):
+        W, L = a.shape
+        aw = jnp.concatenate([a, jnp.zeros((out - W, L), I32)], axis=0) \
+            if out > W else a[:out]
+        sub = self._sub_iota(aw.shape)
+        acc = jnp.zeros((out, L), I32)
+        for j, cj in enumerate(const):
+            if cj and j < out:
+                term = jnp.where(sub < j, 0, self._roll0(aw, j))
+                acc = acc + term * cj
+        return acc
+
+    def _norm(self, x, rounds: int = 3):
+        W = x.shape[0]
+        sub = self._sub_iota(x.shape)
+        dropped = jnp.zeros((1,) + x.shape[1:], x.dtype)
+        for _ in range(rounds):
+            lo = x & 255
+            hi = x >> 8
+            dropped = dropped + hi[W - 1:W]
+            hi_r = jnp.where(sub == 0, 0, self._roll0(hi, 1))
+            x = lo + hi_r
+        s = x
+        gen = s > 255
+        kill = s < 255
+        gp = jnp.where(gen, sub + 1, 0)
+        kp = jnp.where(kill, sub + 1, 0)
+        k = 1
+        while k < W:
+            gp = jnp.maximum(gp, jnp.where(sub < k, 0, self._roll0(gp, k)))
+            kp = jnp.maximum(kp, jnp.where(sub < k, 0, self._roll0(kp, k)))
+            k *= 2
+        carry_of = gp > kp
+        c = jnp.where(sub == 0, 0, self._roll0(carry_of.astype(I32), 1))
+        out = (s + c) & 255
+        return out, dropped + carry_of[W - 1:W].astype(I32)
+
+    def _add_digits(self, a, b, plus_one=False):
+        s = a + b
+        if plus_one:
+            s = s + jnp.where(self._sub_iota(s.shape) == 0, 1, 0)
+        return self._norm(s, rounds=1)
+
+    def _sub_digits(self, a, b):
+        d, c = self._add_digits(a, 255 - b, plus_one=True)
+        return d, c != 0
+
+    def _qdig(self, shape):
+        sub = self._sub_iota(shape)
+        out = jnp.zeros(shape, I32)
+        for j, v in enumerate(self.qd):
+            if v:
+                out = jnp.where(sub == j, v, out)
+        return out
+
+    def select(self, pred, a, b):
+        # pred: (1, L) bool row
+        return jnp.where(pred, a, b)
+
+    def mul(self, a, b):
+        D = self.D
+        T, _ = self._norm(self._conv_var(a, b, 2 * D))
+        m_cols = self._conv_const(T[:D], self.npd, D)
+        m, _ = self._norm(m_cols)
+        u_cols = self._conv_const(m, self.qd, 2 * D)
+        U, _ = self._norm(u_cols)
+        S, _ = self._add_digits(T, U)
+        t = S[D:]
+        q = self._qdig(t.shape)
+        d, ge = self._sub_digits(t, q)
+        return self.select(ge, d, t)
+
+
 _mul_cache: dict = {}
+_mul_t_cache: dict = {}
+
+_LANES_T = 512       # lane columns per grid cell of the transposed kernel
+
+
+def pallas_field_mul_t(field, a, b):
+    """Transposed-layout fused Montgomery multiply.
+
+    a, b: (..., D) digit planes (the library's standard layout).  The
+    operands are flattened and TRANSPOSED to (D, B) so the kernel's
+    tiles put one element per lane column (full VPU width); the result
+    transposes back.  The two XLA transposes cost ~2 HBM round trips —
+    amortized against the kernel's 4x lane-utilization win over
+    pallas_field_mul at wide batches."""
+    kf = _mul_t_cache.get(field.q)
+    if kf is None:
+        kf = _mul_t_cache[field.q] = _KernelFieldT(field)
+    batch = a.shape[:-1]
+    D = a.shape[-1]
+    B = 1
+    for d in batch:
+        B *= d
+    aT = a.reshape(B, D).T
+    bT = b.reshape(B, D).T
+    pad = (-B) % _LANES_T
+    if pad:
+        aT = jnp.concatenate([aT, jnp.zeros((D, pad), I32)], axis=1)
+        bT = jnp.concatenate([bT, jnp.zeros((D, pad), I32)], axis=1)
+    Bp = B + pad
+
+    def kernel(a_ref, b_ref, o_ref):
+        o_ref[:] = kf.mul(a_ref[:], b_ref[:])
+
+    blk = pl.BlockSpec((D, _LANES_T), lambda i: (0, i),
+                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bp // _LANES_T,),
+        in_specs=[blk, blk],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((D, Bp), I32),
+        interpret=_interpret(),
+    )(aT, bT)
+    return out[:, :B].T.reshape(batch + (D,))
 
 
 def pallas_field_mul(field, a, b):

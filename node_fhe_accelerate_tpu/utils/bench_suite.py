@@ -476,7 +476,7 @@ class ComprehensiveBenchmarkRunner:
         prover = BulletproofsProver(curve)
         verifier = BulletproofsVerifier(curve)
         rng = np.random.default_rng(9)
-        vals = [int(rng.integers(0, 1 << 64))
+        vals = [int.from_bytes(rng.bytes(8), "little")
                 for _ in range(self.timer.iters)]
         blinds = [prover.random_scalar() for _ in vals]
         coms = [prover.commit(v, b, gens) for v, b in zip(vals, blinds)]

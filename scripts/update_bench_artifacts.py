@@ -71,6 +71,19 @@ def _merge_and_write(runner):
     for r in runner.results:
         merged[(r.suite, r.name, r.backend)] = r
 
+    # Backfill mean_minus_floor_us (-1 = unset) from the measured
+    # dispatch_floor row so every device row carries the amortized
+    # column, including rows recorded before the memory suite ran
+    # (VERDICT r3 #7: separate relay floor from device capability).
+    floor_row = next((r for k, r in merged.items()
+                      if k[1] == "dispatch_floor"), None)
+    if floor_row is not None:
+        for r in merged.values():
+            if r.mean_minus_floor_us < 0 and r.name != "dispatch_floor" \
+                    and r.backend.startswith(floor_row.backend[:3]):
+                r.mean_minus_floor_us = max(
+                    0.0, r.mean_us - floor_row.mean_us)
+
     out = ComprehensiveBenchmarkRunner()
     out.results = list(merged.values())
     out.export_all(OUTDIR)
