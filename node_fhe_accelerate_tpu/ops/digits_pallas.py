@@ -372,25 +372,13 @@ _mul_t_cache: dict = {}
 _LANES_T = 512       # lane columns per grid cell of the transposed kernel
 
 
-def pallas_field_mul_t(field, a, b):
-    """Transposed-layout fused Montgomery multiply.
-
-    a, b: (..., D) digit planes (the library's standard layout).  The
-    operands are flattened and TRANSPOSED to (D, B) so the kernel's
-    tiles put one element per lane column (full VPU width); the result
-    transposes back.  The two XLA transposes cost ~2 HBM round trips —
-    amortized against the kernel's 4x lane-utilization win over
-    pallas_field_mul at wide batches."""
+def _mul_t_raw(field, aT, bT):
+    """Fused Montgomery multiply on (D, B) digit-MAJOR arrays (no
+    transposes — callers keep the whole computation in this layout)."""
     kf = _mul_t_cache.get(field.q)
     if kf is None:
         kf = _mul_t_cache[field.q] = _KernelFieldT(field)
-    batch = a.shape[:-1]
-    D = a.shape[-1]
-    B = 1
-    for d in batch:
-        B *= d
-    aT = a.reshape(B, D).T
-    bT = b.reshape(B, D).T
+    D, B = aT.shape
     pad = (-B) % _LANES_T
     if pad:
         aT = jnp.concatenate([aT, jnp.zeros((D, pad), I32)], axis=1)
@@ -410,7 +398,163 @@ def pallas_field_mul_t(field, a, b):
         out_shape=jax.ShapeDtypeStruct((D, Bp), I32),
         interpret=_interpret(),
     )(aT, bT)
-    return out[:, :B].T.reshape(batch + (D,))
+    return out[:, :B]
+
+
+def pallas_field_mul_t(field, a, b):
+    """Transposed-layout fused Montgomery multiply.
+
+    a, b: (..., D) digit planes (the library's standard layout).  The
+    operands are flattened and TRANSPOSED to (D, B) so the kernel's
+    tiles put one element per lane column (full VPU width); the result
+    transposes back.  Measured on v5e (chained, no dispatch floor):
+    1.96 ms/mul at B=131072 vs 14.9 ms XLA and 16.6 ms for the
+    (rows, D) kernel — the transposed tile is ~VPU-bound, the other two
+    waste 3/4 of the lanes."""
+    batch = a.shape[:-1]
+    D = a.shape[-1]
+    B = 1
+    for d in batch:
+        B *= d
+    out = _mul_t_raw(field, a.reshape(B, D).T, b.reshape(B, D).T)
+    return out.T.reshape(batch + (D,))
+
+
+class _TField:
+    """Digit-MAJOR ((D, ...lanes) layout) twin of zk/field.py Field.
+
+    mul/square run as the transposed fused kernel (_mul_t_raw); the
+    cheap glue (add/sub/select/predicates, exact carry resolution) is
+    plain XLA along axis 0, mirroring ops/digits.py exactly — every op
+    maps canonical digits to canonical digits, so compositions are
+    bit-identical to the digit-minor path no matter how they fuse.
+    Evaluating zk/curve.py's `jadd_formula`/`jdbl_formula` with this
+    field object IS the transposed Pallas point op."""
+
+    def __init__(self, field):
+        self.f = field
+        self.D = int(field.n_limbs)
+        # numpy, not jnp: a device constant created inside one jit trace
+        # and cached on self leaks into later traces (UnexpectedTracer).
+        self._q_col_np = np.asarray(field._q_digits_np).reshape(self.D, 1)
+
+    @property
+    def _q_col(self):
+        return jnp.asarray(self._q_col_np)
+
+    # -- carry resolution (exact_norm/_ks_add along axis 0) -----------------
+    def _norm1(self, s):
+        lo = s & 255
+        hi = s >> 8
+        dropped = hi[self.D - 1]              # top-digit carry out
+        x = lo + jnp.concatenate(
+            [jnp.zeros_like(hi[:1]), hi[:-1]], axis=0)
+        lo2 = x & 255
+        cb = x >> 8
+        dropped = dropped + cb[self.D - 1]
+        cbs = jnp.concatenate(
+            [jnp.zeros_like(cb[:1]), cb[:-1]], axis=0)
+        s2 = lo2 + cbs
+        gen = s2 > 255
+        kill = s2 < 255
+        iota = jax.lax.broadcasted_iota(I32, s2.shape, 0) + 1
+        cg = jax.lax.cummax(jnp.where(gen, iota, 0), axis=0)
+        ck = jax.lax.cummax(jnp.where(kill, iota, 0), axis=0)
+        carry_of = cg > ck
+        c = jnp.concatenate(
+            [jnp.zeros_like(s2[:1]),
+             carry_of[:-1].astype(I32)], axis=0)
+        out = (s2 + c) & 255
+        return out, dropped + carry_of[self.D - 1].astype(I32)
+
+    def _add_digits(self, a, b, plus_one=False):
+        s = a + b
+        if plus_one:
+            s = s.at[0].add(1)
+        return self._norm1(s)
+
+    def _sub_digits(self, a, b):
+        d, c = self._add_digits(a, 255 - b, plus_one=True)
+        return d, c != 0
+
+    # -- Field interface -----------------------------------------------------
+    def add(self, a, b):
+        s, _ = self._add_digits(a, b)
+        d, ge = self._sub_digits(s, self._q_col)
+        return self.select(ge, d, s)
+
+    def sub(self, a, b):
+        d, ge = self._sub_digits(a, b)
+        wrapped, _ = self._add_digits(d, self._q_col)
+        return self.select(ge, d, wrapped)
+
+    def neg(self, a):
+        z = jnp.zeros_like(a)
+        return self.select(self.is_zero(a), z, self.sub(z, a))
+
+    def mul(self, a, b):
+        return _mul_t_raw(self.f, a, b)
+
+    def square(self, a):
+        return _mul_t_raw(self.f, a, a)
+
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=0)
+
+    def eq(self, a, b):
+        return jnp.all(a == b, axis=0)
+
+    def select(self, pred, a, b):
+        return jnp.where(pred[None], a, b)
+
+
+_tfield_cache: dict = {}
+
+
+def _tfield(field):
+    tf = _tfield_cache.get(field.q)
+    if tf is None:
+        tf = _tfield_cache[field.q] = _TField(field)
+    return tf
+
+
+def _to_t(arrs):
+    batch = arrs[0].shape[:-1]
+    D = arrs[0].shape[-1]
+    B = 1
+    for d in batch:
+        B *= d
+    return [x.reshape(B, D).T for x in arrs], batch, D
+
+
+def _from_t(arrs, batch, D):
+    return tuple(x.T.reshape(batch + (D,)) for x in arrs)
+
+
+def pallas_jadd_t(field, p, q):
+    """Branchless Jacobian add in the transposed domain: transpose the
+    six coordinate planes once, evaluate zk/curve.py's `jadd_formula`
+    verbatim over the _TField (multiplies = fused transposed kernels,
+    glue = XLA), transpose the result back."""
+    from ..zk.curve import jadd_formula
+    tf = _tfield(field)
+    flat, batch, D = _to_t(list(p) + list(q))
+    pT = tuple(flat[:3])
+    qT = tuple(flat[3:])
+    out = jadd_formula(
+        tf, pT, qT, select=tf.select,
+        where_zero=lambda pred, a: jnp.where(pred[None],
+                                             jnp.zeros_like(a), a))
+    return _from_t(out, batch, D)
+
+
+def pallas_jdbl_t(field, p):
+    """Jacobian double in the transposed domain (see pallas_jadd_t)."""
+    from ..zk.curve import jdbl_formula
+    tf = _tfield(field)
+    flat, batch, D = _to_t(list(p))
+    out = jdbl_formula(tf, tuple(flat))
+    return _from_t(out, batch, D)
 
 
 def pallas_field_mul(field, a, b):

@@ -278,19 +278,20 @@ class Curve:
 
     # -- group law (branchless) ---------------------------------------------
     def _pallas_geometry(self, p, q=None):
-        """Total point count if the fused Pallas point kernel applies,
-        else 0.  OPT-IN (NFA_PALLAS_CURVE=1): the hardware A/B on v5e
-        (2026-08-20, /tmp msm_time harness; recorded in ROUND_NOTES)
-        measured msm_bn254_4096 warm at 2.28 s with the level-stacked
-        Pallas point kernels vs 0.52 s pure-XLA, bit-identical results —
-        the (rows, 32)-digit tile layout uses 32 of 128 VPU lanes and
-        each dataflow level pays an HBM round trip that XLA's cross-op
-        fusion avoids.  Kept as the measured alternative + the
-        in-VMEM-reduce building block (pallas_field_mul); the default
-        stays the XLA path that wins on hardware."""
+        """Total point count if the fused Pallas point kernels apply,
+        else 0 (NFA_PALLAS_CURVE=0 disables).  The DEFAULT-ON variant is
+        the TRANSPOSED-domain one (ops/digits_pallas.py pallas_jadd_t):
+        digit-major (D, lanes) tiles fill all 128 VPU lanes, measured on
+        v5e 2026-08-20 at 1.96 ms per 131k-wide field mul vs 14.9 ms XLA
+        (chained, floor-free) and msm_bn254_4096 370 ms vs 521 ms XLA,
+        bit-identical.  Two earlier variants lost and are kept only as
+        measured alternatives: a fully-fused Jacobian kernel (>40 min
+        Mosaic compile — super-linear in unrolled size) and row-major
+        level-stacked muls (2.28 s MSM: 32/128 lanes + per-level HBM
+        round trips)."""
         import os
         from .field import Field
-        if os.environ.get("NFA_PALLAS_CURVE", "0") == "0":
+        if os.environ.get("NFA_PALLAS_CURVE", "1") == "0":
             return 0
         if type(self.fq) is not Field:
             return 0
@@ -306,16 +307,16 @@ class Curve:
         """dbl-2009-l for a=0: 3M + 5S (zk_elliptic_curve.cpp double)."""
         n = self._pallas_geometry(p)
         if n:
-            from ..ops.digits_pallas import pallas_jdbl
-            return pallas_jdbl(self.fq, p)
+            from ..ops.digits_pallas import pallas_jdbl_t
+            return pallas_jdbl_t(self.fq, p)
         return jdbl_formula(self.fq, p)
 
     def _add_impl(self, p, q):
         """add-2007-bl with doubling/infinity cases resolved by masks."""
         n = self._pallas_geometry(p, q)
         if n:
-            from ..ops.digits_pallas import pallas_jadd
-            return pallas_jadd(self.fq, p, q)
+            from ..ops.digits_pallas import pallas_jadd_t
+            return pallas_jadd_t(self.fq, p, q)
         f = self.fq
         return jadd_formula(
             f, p, q,

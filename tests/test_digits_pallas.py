@@ -80,3 +80,54 @@ def test_jacobian_dbl_bit_exact(setup):
     got = pallas_jdbl(curve.fq, P)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_tfield_glue_bit_exact(setup):
+    """Transposed-domain glue (add/sub/neg/select along axis 0) == Field:
+    this is the layer the TRACED point path (pallas_jadd_t) runs in XLA
+    between kernel calls, including the top-carry semantics sub_digits'
+    >= flag depends on."""
+    from node_fhe_accelerate_tpu.ops.digits_pallas import _tfield
+    f, rng, vals = setup
+    tf = _tfield(f)
+    xs = vals + [0, 1, f.q - 1]
+    ys = vals[::-1] + [f.q - 1, 0, 1]
+    a, b = f.encode(xs), f.encode(ys)
+    aT, bT = a.T, b.T
+    np.testing.assert_array_equal(np.asarray(f.add(a, b)),
+                                  np.asarray(tf.add(aT, bT).T))
+    np.testing.assert_array_equal(np.asarray(f.sub(a, b)),
+                                  np.asarray(tf.sub(aT, bT).T))
+    np.testing.assert_array_equal(np.asarray(f.neg(a)),
+                                  np.asarray(tf.neg(aT).T))
+    np.testing.assert_array_equal(np.asarray(f.is_zero(a)),
+                                  np.asarray(tf.is_zero(aT)))
+
+
+def test_jacobian_add_t_bit_exact(setup):
+    """Default device point path (pallas_jadd_t / pallas_jdbl_t, the
+    transposed kernels) == XLA formula on generic + edge points."""
+    from node_fhe_accelerate_tpu.ops.digits_pallas import (
+        pallas_jadd_t, pallas_jdbl_t)
+    import jax.numpy as jnp
+    f, rng, vals = setup
+    curve = bn254_g1()
+    ks = [3, 7, 11, 19, 23, 5, 3, 12]
+    P = curve.fixed_base_mul(ks, backend="host")
+    Q = curve.fixed_base_mul(ks[::-1], backend="host")
+    Pz = P[2].at[5].set(0)
+    Q = (Q[0].at[6].set(P[0][6]).at[7].set(P[0][7]),
+         Q[1].at[6].set(P[1][6]).at[7].set(curve.fq.neg(P[1][7])),
+         Q[2].at[6].set(P[2][6]).at[7].set(P[2][7]))
+    P = (P[0], P[1], Pz)
+    want = jax.jit(lambda p, q: jadd_formula(
+        curve.fq, p, q, select=curve.fq.select,
+        where_zero=lambda pr, a: curve.fq.select(
+            pr, jnp.zeros_like(a), a)))(P, Q)
+    got = pallas_jadd_t(curve.fq, P, Q)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    wantd = jax.jit(lambda p: jdbl_formula(curve.fq, p))(P)
+    gotd = pallas_jdbl_t(curve.fq, P)
+    for g, w in zip(gotd, wantd):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
