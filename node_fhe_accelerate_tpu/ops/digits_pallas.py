@@ -508,13 +508,77 @@ class _TField:
         return jnp.where(pred[None], a, b)
 
 
+class _TField2:
+    """Digit-major twin of zk/field2.py Field2: an Fq2 element is the
+    row-concatenation (2L, ...lanes) of its components; arithmetic is
+    the same Karatsuba/componentwise algebra over _TField, so the G2
+    Jacobian path runs on the transposed kernels unchanged."""
+
+    def __init__(self, field2):
+        self.f2 = field2
+        self.bt = _TField(field2.base)
+        self.L = int(field2.base.n_limbs)
+
+    def _split(self, a):
+        return a[:self.L], a[self.L:]
+
+    def _join(self, c0, c1):
+        return jnp.concatenate([c0, c1], axis=0)
+
+    def add(self, a, b):
+        a0, a1 = self._split(a)
+        b0, b1 = self._split(b)
+        return self._join(self.bt.add(a0, b0), self.bt.add(a1, b1))
+
+    def sub(self, a, b):
+        a0, a1 = self._split(a)
+        b0, b1 = self._split(b)
+        return self._join(self.bt.sub(a0, b0), self.bt.sub(a1, b1))
+
+    def neg(self, a):
+        a0, a1 = self._split(a)
+        return self._join(self.bt.neg(a0), self.bt.neg(a1))
+
+    def mul(self, a, b):
+        f = self.bt
+        a0, a1 = self._split(a)
+        b0, b1 = self._split(b)
+        v0 = f.mul(a0, b0)
+        v1 = f.mul(a1, b1)
+        c0 = f.sub(v0, v1)
+        t = f.mul(f.add(a0, a1), f.add(b0, b1))
+        c1 = f.sub(f.sub(t, v0), v1)
+        return self._join(c0, c1)
+
+    def square(self, a):
+        f = self.bt
+        a0, a1 = self._split(a)
+        c0 = f.mul(f.add(a0, a1), f.sub(a0, a1))
+        m = f.mul(a0, a1)
+        return self._join(c0, f.add(m, m))
+
+    def is_zero(self, a):
+        a0, a1 = self._split(a)
+        return self.bt.is_zero(a0) & self.bt.is_zero(a1)
+
+    def eq(self, a, b):
+        a0, a1 = self._split(a)
+        b0, b1 = self._split(b)
+        return self.bt.eq(a0, b0) & self.bt.eq(a1, b1)
+
+    def select(self, pred, a, b):
+        return jnp.where(pred[None], a, b)
+
+
 _tfield_cache: dict = {}
 
 
 def _tfield(field):
-    tf = _tfield_cache.get(field.q)
+    key = (field.q, field.n_limbs)
+    tf = _tfield_cache.get(key)
     if tf is None:
-        tf = _tfield_cache[field.q] = _TField(field)
+        tf = _TField2(field) if hasattr(field, "base") else _TField(field)
+        _tfield_cache[key] = tf
     return tf
 
 

@@ -291,9 +291,10 @@ class Curve:
         round trips)."""
         import os
         from .field import Field
+        from .field2 import Field2
         if os.environ.get("NFA_PALLAS_CURVE", "1") == "0":
             return 0
-        if type(self.fq) is not Field:
+        if type(self.fq) is not Field and type(self.fq) is not Field2:
             return 0
         shapes = [x.shape for x in (p if q is None else p + q)]
         if any(s != shapes[0] for s in shapes):

@@ -131,3 +131,27 @@ def test_jacobian_add_t_bit_exact(setup):
     gotd = pallas_jdbl_t(curve.fq, P)
     for g, w in zip(gotd, wantd):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_jacobian_add_t_g2_bit_exact():
+    """Transposed point path over Fq2 (_TField2 Karatsuba) == XLA Field2
+    formulas — the G2 device route of Groth16's B MSM."""
+    import jax.numpy as jnp
+    from node_fhe_accelerate_tpu.zk.curve_g2 import bn254_g2
+    from node_fhe_accelerate_tpu.ops.digits_pallas import (
+        pallas_jadd_t, pallas_jdbl_t)
+    c = bn254_g2()
+    f = c.fq
+    P = c.generator((8,))
+    Q = jdbl_formula(f, jdbl_formula(f, P))
+    Pz = P[2].at[5].set(0)
+    Q = (Q[0].at[6].set(P[0][6]).at[7].set(P[0][7]),
+         Q[1].at[6].set(P[1][6]).at[7].set(f.neg(P[1][7])),
+         Q[2].at[6].set(P[2][6]).at[7].set(P[2][7]))
+    P = (P[0], P[1], Pz)
+    want = jadd_formula(f, P, Q, select=f.select,
+                        where_zero=lambda pr, a: f.select(
+                            pr, jnp.zeros_like(a), a))
+    got = pallas_jadd_t(f, P, Q)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
