@@ -17,8 +17,11 @@ locate the 38%-MFU plateau (VERDICT r3 next-round #3):
 All timings chained with an 8-byte d2h per iteration (axon relay rules,
 docs/OPERATIONS.md).  Run: python scripts/profile_pbs_split.py [batch]
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -65,7 +68,7 @@ def main():
     def dots_only(acc0, ggsw):
         def step(acc, g_row):
             d = jnp.bitwise_xor(d_const,
-                                (acc[..., :1, :1] & 1).astype(jnp.int8))
+                                (acc[:, None, :1, :1] & 1).astype(jnp.int8))
             t = g_row[..., None, :]
             c = 1
             while c < N:
@@ -110,7 +113,7 @@ def main():
         def dots_pretiled(acc0, tiles):
             def step(acc, t_row):
                 d = jnp.bitwise_xor(d_const,
-                                    (acc[..., :1, :1] & 1).astype(jnp.int8))
+                                    (acc[:, None, :1, :1] & 1).astype(jnp.int8))
                 out = jax.lax.dot_general(
                     d.reshape(batch, -1),
                     t_row.reshape(-1, (k + 1) * 4 * N),
@@ -141,11 +144,9 @@ def main():
             rotated = ring.rotate(acc, rot[..., None])
             digits = ring.decompose(rotated - acc, p.pbs_base_log, lvl)
             d = jnp.moveaxis(digits, 0, -3).astype(jnp.int8)
-            # recombine a same-shape surrogate (P=4 planes from digit dup)
-            out = jnp.stack([d] * 4, axis=-2).astype(jnp.int32)
-            out = out.sum(axis=-3, dtype=jnp.int32)     # (B, k+1, 4->, N)?
-            res = out[..., 0:1, :].astype(jnp.uint32).squeeze(-2)
-            return acc + res[..., None, :] * 0 + rotated, None
+            # consume every digit so nothing is dead-code-eliminated
+            res = d.astype(jnp.uint32).sum(axis=-3)     # (B, k+1, N)
+            return rotated + res, None
 
         acc, _ = jax.lax.scan(step, acc0, rots)
         return acc

@@ -387,3 +387,45 @@ def test_speculative_run_all_funcs_uses_single_rotate(boot_setup):
     out = SpeculativePBS(eng).run_all_funcs(ct, bsk, funcs)
     dec = np.asarray(eng.lwe_decrypt(out, lwe_sk))
     np.testing.assert_array_equal(dec[:, 0], np.array([1, 0], np.uint32))
+
+
+def test_bootstrap_truncated_bsk():
+    """Approximate-gadget BSK (bsk_drop_planes=1, TFHE_BOOT_128_K4T form):
+    the truncated key decodes correctly with input noise, and the phase
+    drift vs the full key stays well under the decode margin."""
+    kw = dict(poly_degree=128, glwe_dim=2, pbs_base_log=8, pbs_level=2,
+              n_lwe=8, ks_base_log=4, ks_level=8,
+              lwe_noise_std=0.0, glwe_noise_std=0.0, plaintext_modulus=4)
+    p_full = TfheParams(**kw)
+    p_trunc = TfheParams(**kw, bsk_drop_planes=1)
+    key = jax.random.PRNGKey(31)
+    eng_f = TfheEngine(p_full, ext_backend="mxu")
+    eng_t = TfheEngine(p_trunc)                  # auto -> pins mxu
+    assert eng_t.backend == "mxu"
+    lwe_sk = eng_f.lwe_keygen(jax.random.fold_in(key, 0))
+    glwe_sk = eng_f.glwe_keygen(jax.random.fold_in(key, 1))
+    bsk_f = eng_f.generate_bootstrap_key(jax.random.fold_in(key, 2),
+                                         lwe_sk, glwe_sk)
+    bsk_t = eng_t.generate_bootstrap_key(jax.random.fold_in(key, 2),
+                                         lwe_sk, glwe_sk)
+    assert bsk_t.ggsw_i8.shape[-2] == 3          # one plane dropped
+    msgs = jnp.array([0, 1, 1, 0], jnp.uint32)
+    ct = eng_f.lwe_encrypt(jax.random.fold_in(key, 3), msgs, lwe_sk,
+                           noise_std=float(2 ** 20))
+    out_f = eng_f.bootstrap_jit(ct, bsk_f, eng_f.default_test_poly())
+    out_t = eng_t.bootstrap_jit(ct, bsk_t, eng_t.default_test_poly())
+    np.testing.assert_array_equal(
+        np.asarray(eng_t.lwe_decrypt(out_t, lwe_sk)), np.asarray(msgs))
+    # phase drift of the truncation vs the full key
+    ph_f = np.asarray(eng_f.lwe_phase(out_f, lwe_sk)).astype(np.int64)
+    ph_t = np.asarray(eng_t.lwe_phase(out_t, lwe_sk)).astype(np.int64)
+    d = (ph_t - ph_f) % (1 << 32)
+    d = np.where(d >= 1 << 31, d - (1 << 32), d)
+    margin = (1 << 32) // p_full.plaintext_modulus // 2
+    assert np.max(np.abs(d)) < margin // 16, d
+
+
+def test_truncated_bsk_requires_mxu():
+    p = tiny_params(bsk_drop_planes=1)
+    with pytest.raises(ValueError):
+        TfheEngine(p, ext_backend="ntt")
