@@ -118,16 +118,25 @@ def TFHE_BOOT_128_K4T() -> TfheParams:
     (the KEY is unchanged; only its stored digit form is truncated, the
     lattice problem and noise rates are those of TFHE_BOOT_128_K4).
 
-    Noise soundness (t=4, decode margin Delta/2 = 2^29): the dropped
-    plane's value is the balanced digit d0 in [-128, 127], so the
-    per-coefficient error of one external product is
-    sum_i digits_i * d0_i over the l*(k+1)*N = 2560-term contraction:
-    std ~ 2^7 * 2^7 * sqrt(2560/12) ~ 2^17.9 per step, ~2^22.5 over 630
-    steps — an order of magnitude under the external-product noise
-    itself (~2^24.4 accumulated, see TFHE_BOOT_128_K4) and 2^6.5 under
-    the decode margin.  This is the classic approximate-gadget /
-    key-truncation trade used by production TFHE libraries, applied to
-    the plane axis of the MXU form.  Requires ext_backend="mxu"."""
+    **FAILED hardware validation at t=4 — do NOT use in production.**
+    Measured on v5e (2026-08-21, batch 4096, chained + decode-checked,
+    scripts/ab_k4t.py): 11,312 bootstraps/s (+26% over K4) but the
+    decode FAILS — output phase-error std 2^27.5, max 2^30.6 > the
+    Delta/2 = 2^29 margin (bootstrap.csv pbs_n630_N256_l2_k4t,
+    correct=False).  The naive model below under-predicts the truncation
+    error ~20x: a controlled CPU study (full vs truncated key on
+    identical inputs; N=64, glwe_noise only) measured per-step error
+    std 2^20.6 vs the model's 2^16.1 — the digits of the CMux diff are
+    test-polynomial-structured (near-multiples of Delta), not uniform,
+    and the error tail runs ~9 sigma.  Growth over steps IS sqrt
+    (n=32 -> 512 gave std 2^23.1 -> 2^25.1), so the failure is the
+    per-step magnitude, not coherent accumulation.  The preset is kept
+    as a measured negative result and for noise research; a t=2 gate
+    bootstrap (margin 2^30) is marginal at best (max error 2^30.6).
+
+    Original (incorrect) derivation, for the record: dropped digit d0 in
+    [-128, 127] -> per-step std ~ 2^7 * 2^7 * sqrt(2560/12) ~ 2^17.9,
+    ~2^22.5 over 630 steps.  Requires ext_backend="mxu"/"mxu_fused"."""
     return TfheParams(poly_degree=256, glwe_dim=4,
                       pbs_base_log=8, pbs_level=2, bsk_drop_planes=1)
 
@@ -172,12 +181,17 @@ class BootstrapKey:
     # expansion otherwise costs ~1.9 ms/step INSIDE every bootstrap call,
     # about half the blind-rotate wall time (measured v5e 2026-08-19).
     ggsw_tiles: Any = None
+    # Per-step diagonal slabs for the steps-outer fused blind rotate
+    # (mxu_fused backend; set by prepare_bsk(form="slabs")).  ~6.2 GB HBM
+    # at the K4 production shape.
+    ggsw_slabs: Any = None
 
 
 for _cls, _fields in ((LweCiphertext, ("a", "b")),
                       (GlweCiphertext, ("data",)),
                       (BootstrapKey, ("ggsw_ext", "ggsw_i8", "ggsw_crt",
-                                      "ggsw_tiles", "ksk_a", "ksk_b"))):
+                                      "ggsw_tiles", "ggsw_slabs",
+                                      "ksk_a", "ksk_b"))):
     jax.tree_util.register_pytree_node(
         _cls,
         (lambda fields: lambda x: (
@@ -221,7 +235,7 @@ class TfheEngine:
           TFHE_256's base 2^10 at N=4096 that overflows both the int8 MXU
           accumulation bound and the single 54-bit prime.
         """
-        if ext_backend not in ("auto", "mxu", "ntt", "pallas",
+        if ext_backend not in ("auto", "mxu", "mxu_fused", "ntt", "pallas",
                                "pallas_fused", "crt"):
             raise ValueError(f"unknown ext_backend {ext_backend!r}")
         adaptive = False
@@ -231,10 +245,10 @@ class TfheEngine:
             # represent the truncation
             if ext_backend in ("auto", "mxu"):
                 ext_backend = "mxu"
-            else:
+            elif ext_backend != "mxu_fused":
                 raise ValueError(
-                    "bsk_drop_planes requires ext_backend='mxu' "
-                    f"(got {ext_backend!r})")
+                    "bsk_drop_planes requires ext_backend='mxu' or "
+                    f"'mxu_fused' (got {ext_backend!r})")
         if ext_backend == "auto":
             i8_ok = (params.poly_degree % 128 == 0 and
                      (params.glwe_dim + 1) * params.pbs_level *
@@ -250,10 +264,10 @@ class TfheEngine:
         self.t = params.plaintext_modulus
         self.delta = (1 << 32) // self.t
         k, lvl = params.glwe_dim, params.pbs_level
-        if ext_backend in ("pallas", "pallas_fused") \
+        if ext_backend in ("pallas", "pallas_fused", "mxu_fused") \
                 and params.poly_degree % 128:
             raise ValueError("pallas backend needs poly_degree % 128 == 0")
-        if ext_backend in ("mxu", "pallas", "pallas_fused"):
+        if ext_backend in ("mxu", "mxu_fused", "pallas", "pallas_fused"):
             # int32 accumulation bound: terms * (base/2) * 128 < 2^31
             terms = (k + 1) * lvl * params.poly_degree
             if terms * (1 << (params.pbs_base_log - 1)) * 128 >= (1 << 31):
@@ -473,17 +487,34 @@ class TfheEngine:
                             ggsw_crt=ggsw_crt, ksk_a=ksk_a, ksk_b=ksk_b,
                             params=p)
 
-    def prepare_bsk(self, bsk: BootstrapKey) -> BootstrapKey:
-        """Precompute the per-step Toeplitz diagonal tiles for the pallas
-        blind rotate (~4.7 GB HBM at the production shape, ~1 s one-time on
-        v5e).  Idempotent; a no-op for backends that don't consume tiles.
-        The returned key drops into every i8-form backend unchanged."""
-        if bsk.ggsw_i8 is None or bsk.ggsw_tiles is not None:
+    def prepare_bsk(self, bsk: BootstrapKey,
+                    form: str | None = None) -> BootstrapKey:
+        """Precompute the per-step Toeplitz expansion for a fused backend.
+
+        form="tiles" (pallas): diagonal 128x128 tiles, ~4.7 GB HBM at the
+        production shape.  form="slabs" (mxu_fused): matmul-layout diagonal
+        slabs, ~6.2 GB at K4.  Default: whichever this engine's backend
+        consumes.  Idempotent; a no-op for backends that precompute
+        nothing.  The returned key drops into every i8-form backend
+        unchanged."""
+        if form is None:
+            form = "slabs" if self.backend == "mxu_fused" else "tiles"
+        if bsk.ggsw_i8 is None:
             return bsk
-        from ..ops.pallas_cmux import build_all_step_tiles
-        tiles = jax.jit(build_all_step_tiles)(bsk.ggsw_i8)
+        tiles, slabs = bsk.ggsw_tiles, bsk.ggsw_slabs
+        if form == "tiles":
+            if tiles is not None:
+                return bsk
+            from ..ops.pallas_cmux import build_all_step_tiles
+            tiles = jax.jit(build_all_step_tiles)(bsk.ggsw_i8)
+        else:
+            if slabs is not None:
+                return bsk
+            from ..ops.pallas_cmux import build_all_step_slabs
+            slabs = jax.jit(build_all_step_slabs)(bsk.ggsw_i8)
         return BootstrapKey(ggsw_ext=bsk.ggsw_ext, ggsw_i8=bsk.ggsw_i8,
                             ggsw_crt=bsk.ggsw_crt, ggsw_tiles=tiles,
+                            ggsw_slabs=slabs,
                             ksk_a=bsk.ksk_a, ksk_b=bsk.ksk_b,
                             params=bsk.params)
 
@@ -565,6 +596,14 @@ class TfheEngine:
         """
         p = self.p
         k, lvl, N = p.glwe_dim, p.pbs_level, p.poly_degree
+        # Key/engine plane-count agreement (ADVICE r4): a full 4-plane BSK
+        # under a drop=1 engine (or vice versa) would silently recombine
+        # with the wrong 256^p weights — fail loudly instead.
+        if ggsw_i8_row.shape[-2] != 4 - p.bsk_drop_planes:
+            raise ValueError(
+                f"BSK has {ggsw_i8_row.shape[-2]} digit planes but engine "
+                f"params expect {4 - p.bsk_drop_planes} "
+                f"(bsk_drop_planes={p.bsk_drop_planes})")
         digits = self.ring.decompose(glwe_data, p.pbs_base_log, lvl)
         d = jnp.moveaxis(digits, 0, -3).astype(jnp.int8)  # (...,lvl,k+1,N)
         batch = d.shape[:-3]
@@ -629,6 +668,29 @@ class TfheEngine:
         a_rots = self._rotations(lwe.a, lut_count)  # (..., n)
         a_rots = jnp.moveaxis(a_rots, -1, 0)      # (n, ...)
 
+        if self.backend == "mxu_fused":
+            # Steps-outer fused ladder: full-batch accumulator resident in
+            # VMEM across all n steps, per-step slab streamed once
+            # (ops/pallas_cmux.py blind_rotate_fused_steps).  The slabs
+            # come from prepare_bsk(form="slabs"); built on the fly here
+            # when the caller skipped prepare (first call only — the jit
+            # cache makes repeats free, but the ~6 GB expansion then runs
+            # INSIDE every traced call, so prepare explicitly in services).
+            from ..ops.pallas_cmux import (blind_rotate_fused_steps,
+                                           build_all_step_slabs)
+            interp = jax.default_backend() == "cpu"
+            slabs = bsk.ggsw_slabs
+            if slabs is None:
+                slabs = build_all_step_slabs(bsk.ggsw_i8)
+            planes = slabs.shape[-1] // ((self.p.glwe_dim + 1) * 128)
+            if planes != 4 - self.p.bsk_drop_planes:
+                raise ValueError(
+                    f"BSK slabs carry {planes} digit planes but engine "
+                    f"params expect {4 - self.p.bsk_drop_planes}")
+            return blind_rotate_fused_steps(acc, a_rots, slabs,
+                                            self.p.pbs_base_log,
+                                            drop=self.p.bsk_drop_planes,
+                                            interpret=interp)
         if self.backend == "pallas_fused":
             # ONE pallas_call for the whole CMux ladder: VMEM-resident
             # accumulator, pipelined GGSW slab streaming, digits cached

@@ -44,7 +44,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["cmux_step_pallas", "cmux_step_tiles", "build_diag_tiles",
-           "build_all_step_tiles", "blind_rotate_fused"]
+           "build_all_step_tiles", "blind_rotate_fused",
+           "build_all_step_slabs", "blind_rotate_fused_steps"]
 
 
 def _rotate_neg(x, rot, n: int, logn: int):
@@ -424,6 +425,186 @@ def blind_rotate_fused(acc, a_rots, ggsw_i8, base_log: int,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(acc, rots.reshape(n_steps, B // bt, 1, bt), slabs).reshape(orig_shape)
+
+
+# ---------------------------------------------------------------------------
+# Steps-outer fused blind rotate (round 5)
+# ---------------------------------------------------------------------------
+#
+# The round-3 fused kernel (blind_rotate_fused above) iterated
+# (batch_tile, step, chunk) — batch OUTER — so every batch tile re-streamed
+# ALL steps' GGSW slabs from HBM (~5 GB x B/bt per call), and it lost at
+# production batch.  This variant inverts the grid: steps OUTER, the FULL
+# 4096-batch accumulator resident in VMEM for the whole call (21 MB at the
+# K4 shape — v5e has 128 MB VMEM/core), each step's slab streamed from HBM
+# exactly ONCE (9.8 MB/step, double-buffered by the Pallas pipeline).
+#
+# Why this breaks the 38%-MFU plateau (profile_pbs_split.py, v5e
+# 2026-08-21): the XLA mxu path spends 137 ms/bootstrap-batch on
+# rotate/decompose/recombine HBM round-trips (~180 MB/step) and
+# materializes the (B, k+1, P, N) int32 dot output (+84 MB/step r+w);
+# dots_only alone measures 45% MFU from the in-scan Toeplitz expansion.
+# Here every intermediate lives in VMEM; per-step HBM traffic drops from
+# ~290 MB to 9.8 MB, leaving the int8 MXU dots (~172 ms/batch at K4) as
+# the only large term.
+#
+# MXU shape: the kernel first writes ALL digits to a VMEM scratch
+# (phase 1, VPU), then issues full-batch dots (phase 2): per
+# (rt, jp, l, j) one (B, N) x (N, P*128) int8 dot against the rt-major
+# slab.  M = 4096 rows stream against each loaded weight tile — ~97%
+# weight-load amortization, vs 67% for the first revision's per-chunk
+# (256, 128)-row dots (measured 10.3K/s; this layout 12.8K/s).
+
+
+def _fused_steps_kernel(acc_ref, rots_ref, slab_ref, out_ref, digs, *,
+                        n: int, logn: int, k: int, lvl: int, planes: int,
+                        base_log: int, drop: int, bc: int):
+    s = pl.program_id(0)
+    nt = n // 128
+    kp1 = k + 1
+    pw = planes * 128
+
+    @pl.when(s == 0)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+    B = out_ref.shape[0]
+    # phase 1 (VPU): rotate + decompose the full batch into scratch
+    for b0 in range(0, B, bc):
+        acc_b = out_ref[b0:b0 + bc]                  # (bc, k+1, N) u32
+        rot_b = rots_ref[0, 0, b0:b0 + bc][:, None]  # (bc, 1) i32
+        rotated = _rotate_neg(acc_b, rot_b, n, logn)
+        diff = rotated - acc_b
+        digits = _decompose(diff, base_log, lvl)     # [lvl](bc, k+1, N) i8
+        for l in range(lvl):
+            digs[b0:b0 + bc, l] = digits[l]
+
+    # phase 2 (MXU): full-batch dots + in-register plane recombination.
+    # slab rows for output block rt are ordered (l, j, c in [0, N)) with
+    # the Toeplitz diagonal baked in per c-block (build_rt_slabs), so x
+    # is a plain (B, N) digit slice — no lane concat, K = N contraction.
+    for rt in range(nt):
+        for jp in range(kp1):
+            a32 = jnp.zeros((B, pw), jnp.int32)
+            for l in range(lvl):
+                for j in range(kp1):
+                    x = digs[:, l, j, :]             # (B, N) i8
+                    row0 = (l * kp1 + j) * n
+                    w = slab_ref[0, rt, row0:row0 + n,
+                                 jp * pw:(jp + 1) * pw]
+                    a32 = a32 + jax.lax.dot_general(
+                        x, w, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+            blk = a32.reshape(B, planes, 128)
+            acc_p = blk[:, 0, :].astype(jnp.uint32)
+            if drop:
+                acc_p = acc_p << jnp.uint32(8 * drop)
+            for p in range(1, planes):
+                acc_p = acc_p + (blk[:, p, :].astype(jnp.uint32)
+                                 << jnp.uint32(8 * (p + drop)))
+            out_ref[:, jp, rt * 128:(rt + 1) * 128] = (
+                out_ref[:, jp, rt * 128:(rt + 1) * 128] + acc_p)
+
+
+def build_rt_slabs(ghat2):
+    """rt-major Toeplitz slabs for the steps-outer fused kernel.
+
+    ghat2: int8 (lvl, k+1, k+1, P, 4N).  Returns int8
+    (nt, lvl*(k+1)*N, (k+1)*P*128): slab rt is the weight matrix W_rt
+    with W_rt[(l, j, ct*128 + c), (jp, p, r)] =
+    T_{l,j,jp,p}[128*ct + c, 128*rt + r] — i.e. the block-Toeplitz
+    diagonal d = rt - ct is resolved at BUILD time, so the kernel's
+    contraction runs over the full (l, j)-row length N in one dot."""
+    lvl, kp1, _, planes, four_n = ghat2.shape
+    n = four_n // 4
+    nt = n // 128
+    tiles = build_diag_tiles(ghat2)    # (lvl, j, jp, P, D, c, r)
+    rows = []
+    for rt in range(nt):
+        per_ct = [tiles[:, :, :, :, rt - ct + nt - 1]   # (lvl,j,jp,P,c,r)
+                  for ct in range(nt)]
+        t = jnp.stack(per_ct, axis=4)   # (lvl, j, jp, P, ct, c, r)
+        t = jnp.transpose(t, (0, 1, 4, 5, 2, 3, 6))  # (l,j,ct,c,jp,P,r)
+        rows.append(t.reshape(lvl * kp1 * n, kp1 * planes * 128))
+    return jnp.stack(rows, axis=0)      # (nt, lvl*kp1*N, wide)
+
+
+def build_all_step_slabs(ggsw_i8):
+    """Per-step rt-major Toeplitz slabs for blind_rotate_fused_steps.
+
+    ggsw_i8: int8 (n_steps, lvl, k+1, k+1, P, 2N) — the BSK's MXU form
+    (P may be < 4 for truncated K4T keys).  Returns int8
+    (n_steps, nt, lvl*(k+1)*N, (k+1)*P*128) — ~8.3 GB at the K4
+    production shape, held in HBM for the life of the key (the same
+    trade prepare_bsk makes for the per-step tiles).  Sequential lax.map
+    keeps peak memory at output + one step's doubling intermediates."""
+    def one(g):
+        return build_rt_slabs(jnp.concatenate([g, g], axis=-1))
+    return jax.lax.map(one, ggsw_i8)
+
+
+@functools.partial(jax.jit, static_argnames=("base_log", "drop",
+                                             "interpret", "batch_chunk"))
+def blind_rotate_fused_steps(acc, a_rots, slabs, base_log: int,
+                             drop: int = 0, interpret: bool = False,
+                             batch_chunk: int = 256):
+    """All n_lwe blind-rotate CMux steps in ONE pallas_call, steps-outer.
+
+    acc:    uint32 (..., k+1, N) — the X^{-b~}-rotated accumulator
+    a_rots: int32 (n_steps, ...) rotation amounts per step
+    slabs:  int8 (n_steps, nt, lvl*(k+1)*N, (k+1)*P*128) from
+            build_all_step_slabs (TfheEngine.prepare_bsk(form="slabs"))
+    drop:   TfheParams.bsk_drop_planes — restores the 256^(p+drop) plane
+            weights for truncated (K4T) keys
+
+    Exact same int8/int32/uint32 algebra as external_product_mxu —
+    asserted bit-for-bit in tests/test_pallas_cmux.py."""
+    lead = acc.shape[:-2]
+    kp1, n = acc.shape[-2:]
+    orig_shape = acc.shape
+    acc = acc.reshape((-1, kp1, n))
+    B = acc.shape[0]
+    n_steps, nt, K, wide = slabs.shape
+    lvl = K // (kp1 * n)
+    planes = wide // (kp1 * 128)
+    logn = n.bit_length() - 1
+    bc = B
+    for cand in range(min(batch_chunk, B), 0, -1):
+        if B % cand == 0:
+            bc = cand
+            break
+    # (n_steps, 1, B): the TPU block-shape rule needs the last two
+    # block dims divisible by (8, 128) or equal to the array dims.
+    rots = jnp.broadcast_to(jnp.asarray(a_rots, jnp.int32),
+                            (n_steps,) + lead).reshape(n_steps, 1, B)
+
+    kernel = functools.partial(
+        _fused_steps_kernel, n=n, logn=logn, k=kp1 - 1, lvl=lvl,
+        planes=planes, base_log=base_log, drop=drop, bc=bc)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(acc.shape, acc.dtype),
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((B, kp1, n), lambda s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nt, K, wide), lambda s: (s, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, kp1, n), lambda s: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((B, lvl, kp1, n), jnp.int8),   # digits, full batch
+        ],
+        # acc in + out (21 MB each at K4/4096) + double-buffered rt-slab
+        # (2 x 13.1 MB) + digits scratch (10.5 MB) + one (B, P*128) i32
+        # accumulator (8.4 MB) + chunk temporaries; v5e has 128 MB VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(acc, rots, slabs).reshape(orig_shape)
 
 
 @functools.partial(jax.jit, static_argnames=("base_log", "interpret",

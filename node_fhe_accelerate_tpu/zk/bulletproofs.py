@@ -347,39 +347,88 @@ class BulletproofsVerifier:
         x2 = x * x % r
         delta = self._delta(y, z, n, m)
 
-        # t_hat*G + tau_x*H == sum_j z^(2+j)*V_j + delta*G + x*T1 + x^2*T2
-        T1 = c.from_affine_ints([proof.T1[0]], [proof.T1[1]])
-        T2 = c.from_affine_ints([proof.T2[0]], [proof.T2[1]])
-        lhs = c.msm(_scalars([proof.t_hat, proof.tau_x]),
-                    _stack_points([c.generator(), gens.H]))
-        rhs = c.msm(
-            _scalars([z_pow[2 + j] for j in range(m)] + [delta, x, x2]),
-            _stack_points([cm.point for cm in commitments]
-                          + [c.generator(), T1, T2]))
-        if not bool(np.asarray(c.eq(lhs, rhs))):
-            return False
+        # --- single-MSM batch verification (round 5, VERDICT r4 #4) ---
+        #
+        # The two checks
+        #   (1) t_hat G + tau_x H - sum z^(2+j) V_j - delta G - x T1
+        #       - x^2 T2 == 0
+        #   (2) P - RHS_ipa == 0, with P's definition substituted and the
+        #       y^-i of h' folded into the h_i exponents (so no separate
+        #       h' scalar_mul dispatch)
+        # are combined with a fresh uniform rho as (1) + rho*(2) and
+        # evaluated as ONE multi-scalar multiplication that must land on
+        # the point at infinity.  Soundness: for (1), (2) not both zero,
+        # the combination vanishes with probability 1/r (Schwartz-Zippel
+        # over rho — standard Bulletproofs batch verification).  The old
+        # sequential form paid 4 MSMs + 1 scalar_mul, each a multi-
+        # dispatch eager call: 419 ms measured on v5e, dominated by the
+        # ~32 ms relay dispatch floor, vs one MSM + one d2h here.
+        import secrets
+        rho = secrets.randbelow(r - 1) + 1
 
-        # P = A + x*S - z*sum(g_i)
-        #     + sum((z*y^i + z^(2+i//n)*2^(i%n)) y^-i) h_i - mu*H
+        # IPA challenges (same transcript order as the prover)
+        rounds = len(proof.inner.L)
+        if (1 << rounds) != N:
+            return False
+        challenges = []
+        for La, Ra in zip(proof.inner.L, proof.inner.R):
+            transcript.append_point("L", La)
+            transcript.append_point("R", Ra)
+            challenges.append(transcript.challenge_field_element("x", r))
+        inv_ch = [pow(ch, -1, r) for ch in challenges]
+        s = []
+        for i in range(N):
+            acc = 1
+            for j in range(rounds):
+                bit = (i >> (rounds - 1 - j)) & 1
+                acc = acc * (challenges[j] if bit else inv_ch[j]) % r
+            s.append(acc)
+
         y_pow = _powers(y, N, r)
         two_pow = _powers(2, n, r)
         y_inv_pow = _powers(pow(y, -1, r), N, r)
         g_n = _slice(gens.g_vec, slice(0, N))
         h_n = _slice(gens.h_vec, slice(0, N))
-        h_prime = c.scalar_mul(_scalars(y_inv_pow), h_n)
         A = c.from_affine_ints([proof.A[0]], [proof.A[1]])
         S = c.from_affine_ints([proof.S[0]], [proof.S[1]])
+        T1 = c.from_affine_ints([proof.T1[0]], [proof.T1[1]])
+        T2 = c.from_affine_ints([proof.T2[0]], [proof.T2[1]])
         h_scalars = [(z * y_pow[i] + z_pow[2 + i // n] * two_pow[i % n]) % r
                      for i in range(N)]
-        n = N
-        # note h' scalars fold the y^-i into h_prime already
-        P = c.msm(
-            _scalars([1, x] + [(r - z) % r] * n + h_scalars
-                     + [(r - proof.mu) % r, (w * proof.t_hat) % r]),
-            _stack_points([A, S, g_n, h_prime, gens.H, gens.U]))
+        a_s, b_s = proof.inner.a, proof.inner.b
 
-        return self.verify_inner_product(
-            P, proof.t_hat, proof.inner, g_n, h_prime, gens.U, w, transcript)
+        scalars = [
+            (proof.t_hat - delta) % r,                       # G
+            (proof.tau_x - rho * proof.mu) % r,              # H
+        ]
+        pts = [c.generator(), gens.H]
+        scalars += [(r - z_pow[2 + j]) % r for j in range(m)]  # V_j
+        pts += [cm.point for cm in commitments]
+        scalars += [(r - x) % r, (r - x2) % r, rho, rho * x % r]
+        pts += [T1, T2, A, S]
+        # g_i: rho * (-z - s_i a);   h_i: rho * y^-i * (h_sc_i - s_i^-1 b).
+        # s_i^-1 = s_{N-1-i}: flipping every challenge bit inverts the
+        # product and maps index i to its complement — no inversions.
+        scalars += [rho * (r - (z + s[i] * a_s) % r) % r for i in range(N)]
+        pts += [g_n]
+        scalars += [rho * y_inv_pow[i] % r
+                    * ((h_scalars[i] - s[N - 1 - i] * b_s) % r) % r
+                    for i in range(N)]
+        pts += [h_n]
+        scalars += [rho * w % r * (proof.t_hat - a_s * b_s) % r]  # U
+        pts += [gens.U]
+        for j in range(rounds):
+            Lx, Ly, _ = proof.inner.L[j]
+            Rx, Ry, _ = proof.inner.R[j]
+            pts.append(c.from_affine_ints([Lx], [Ly]))
+            scalars.append(rho * challenges[j] % r * challenges[j] % r)
+            pts.append(c.from_affine_ints([Rx], [Ry]))
+            scalars.append(rho * inv_ch[j] % r * inv_ch[j] % r)
+
+        res = c.msm(_scalars([sc % r for sc in scalars]), _stack_points(pts))
+        # infinity iff Jacobian Z == 0 — a host check on the fetched limbs,
+        # no extra device dispatch
+        return not np.asarray(res[2]).any()
 
     def verify_inner_product(self, P, c_val, proof: InnerProductProof,
                              g_vec, h_vec, U, w, transcript) -> bool:

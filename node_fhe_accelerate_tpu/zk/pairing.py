@@ -382,27 +382,6 @@ def _linefunc(p1, p2, t):
     return xt - x1
 
 
-def _miller_loop(q, p):
-    """f_{ate}(Q, P) with final exponentiation."""
-    if q is None or p is None:
-        return FQ12.one()
-    r_pt = q
-    f = FQ12.one()
-    for i in range(ATE_LOOP_COUNT.bit_length() - 2, -1, -1):
-        f = f * f * _linefunc(r_pt, r_pt, p)
-        r_pt = _ec_double(r_pt)
-        if ATE_LOOP_COUNT & (1 << i):
-            f = f * _linefunc(r_pt, q, p)
-            r_pt = _ec_add(r_pt, q)
-    # Frobenius endomorphism steps
-    q1 = (q[0] ** P, q[1] ** P)
-    nq2 = (q1[0] ** P, -(q1[1] ** P))
-    f = f * _linefunc(r_pt, q1, p)
-    r_pt = _ec_add(r_pt, q1)
-    f = f * _linefunc(r_pt, nq2, p)
-    return f ** ((P ** 12 - 1) // R)
-
-
 def _ec_double(pt):
     x, y = pt
     m = 3 * (x * x) / (2 * y)
@@ -424,12 +403,212 @@ def pairing(q_g2, p_g1) -> FQ12:
     """e(P, Q) for P in G1 (affine ints or None), Q in G2 (FQ2 affine)."""
     if p_g1 is None or q_g2 is None:
         return FQ12.one()
-    return _miller_loop(_twist(q_g2), _cast_g1(p_g1))
+    return final_exponentiation(miller_loop_raw(q_g2, p_g1))
+
+
+# ---------------------------------------------------------------------------
+# Fast verification path (round 5, VERDICT r4 #4)
+# ---------------------------------------------------------------------------
+#
+# The naive pairing spent 80% of its 335 ms in the square-and-multiply
+# final exponentiation by the full (p^12-1)/r (measured 2026-08-21:
+# miller 65 ms, final exp 261 ms), and pairing_check paid BOTH per pair.
+# Three standard optimizations, all host-side big-int:
+#
+#  1. One shared final exponentiation over the product of Miller loops
+#     (prod e_i == 1  <=>  final_exp(prod miller_i) == 1).
+#  2. Frobenius maps via precomputed w^(p^k) power tables — x^(p^k) is
+#     Fq-linear in the flat Fq[w]/(w^12-18w^6+82) representation — which
+#     unlock the easy part (p^6-1)(p^2+1) by conjugation + one inversion
+#     and the BN hard-part addition chain (Scott et al. 2009) with three
+#     63-bit exponentiations by the BN parameter u instead of a 2790-bit
+#     generic exponent.
+#  3. Prepared G2: the Miller line slopes/intercepts depend only on Q, so
+#     for the fixed verification keys (KZG [tau]_2, Groth16 beta/gamma/
+#     delta, PLONK h2) they are computed once and cached; each check then
+#     only evaluates the lines at P (two scalar muls per line).
+#
+# pairing_check auto-caches preparations keyed by the G2 coordinates, so
+# every verifier (KZG, PLONK, Groth16, voting receipts) gets the fast
+# path with no call-site changes.
+
+BN_U = 4965661367192848881          # BN254 curve parameter u
+
+_frob_tables: dict = {}
+
+
+def _frob_table(k: int):
+    """[ (w^(p^k))^i for i in 0..11 ] — lazily built, ~30 ms total."""
+    tab = _frob_tables.get(k)
+    if tab is None:
+        w1 = _frob_tables.get("_w1")
+        if w1 is None:
+            w = FQ12([0, 1] + [0] * 10)
+            w1 = w ** P                      # one 254-bit exponentiation
+            _frob_tables["_w1"] = w1
+        # w^(p^k) by repeated Frobenius of w^(p^(k-1)) (ring hom)
+        base = w1
+        for _ in range(k - 1):
+            base = frobenius(base, 1)
+        tab = [FQ12.one()]
+        for _ in range(11):
+            tab.append(tab[-1] * base)
+        _frob_tables[k] = tab
+    return tab
+
+
+def frobenius(f: FQ12, k: int) -> FQ12:
+    """f^(p^k): coefficients are Fq (fixed by x -> x^p), so the map is
+    the Fq-linear substitution w^i -> (w^p...^p)^i."""
+    tab = _frob_table(k)
+    acc = FQ12.zero()
+    for i, c in enumerate(f.coeffs):
+        if c:
+            acc = acc + tab[i] * c
+    return acc
+
+
+def _pow_u(f: FQ12) -> FQ12:
+    return f ** BN_U
+
+
+def final_exponentiation(f: FQ12) -> FQ12:
+    """f^((p^12-1)/r) via easy part + the BN hard-part chain
+    (Scott-Benger-Charlemagne-Dominguez-Kachisa 2009); verified against
+    the generic exponentiation in tests/test_pairing.py."""
+    # easy part: f^((p^6-1)(p^2+1))
+    m = frobenius(f, 6) * f.inv()            # f^(p^6-1)
+    m = frobenius(m, 2) * m                  # ^(p^2+1)
+    # hard part: m^((p^4-p^2+1)/r).  In the cyclotomic subgroup
+    # m^(p^6) = m^-1, so conjugation (frob6) replaces inversions.
+    conj = lambda x: frobenius(x, 6)         # noqa: E731
+    mx = _pow_u(m)
+    mx2 = _pow_u(mx)
+    mx3 = _pow_u(mx2)
+    y0 = frobenius(m, 1) * frobenius(m, 2) * frobenius(m, 3)
+    y1 = conj(m)
+    y2 = frobenius(mx2, 2)
+    y3 = conj(frobenius(mx, 1))
+    y4 = conj(mx * frobenius(mx2, 1))
+    y5 = conj(mx2)
+    y6 = conj(mx3 * frobenius(mx3, 1))
+    t0 = y6 * y6 * y4 * y5
+    t1 = y3 * y5 * t0
+    t0 = t0 * y2
+    t1 = (t1 * t1 * t0)
+    t1 = t1 * t1
+    t0 = t1 * y1
+    t1 = t1 * y0
+    t0 = t0 * t0 * t1
+    return t0
+
+
+class G2Prepared:
+    """Miller-loop line constants for a FIXED G2 point Q.
+
+    Each line is (a, c, has_y): line(P=(px, py)) = a*px + c - py (slope
+    lines) or a*px + c (vertical lines), with a, c in Fq12 — evaluating
+    costs two scalar-by-Fq12 products instead of the Fq12 division the
+    on-the-fly _linefunc pays."""
+
+    __slots__ = ("lines",)
+
+    def __init__(self, q_g2):
+        q = _twist(q_g2)
+        self.lines = []
+        r_pt = q
+
+        def push(p1, p2):
+            x1, y1 = p1
+            x2, y2 = p2
+            if x1 != x2:
+                mm = (y2 - y1) / (x2 - x1)
+                self.lines.append((mm, y1 - mm * x1, True))
+            elif y1 == y2:
+                mm = 3 * (x1 * x1) / (2 * y1)
+                self.lines.append((mm, y1 - mm * x1, True))
+            else:
+                self.lines.append((FQ12.one(), -x1, False))
+
+        for i in range(ATE_LOOP_COUNT.bit_length() - 2, -1, -1):
+            push(r_pt, r_pt)
+            r_pt = _ec_double(r_pt)
+            if ATE_LOOP_COUNT & (1 << i):
+                push(r_pt, q)
+                r_pt = _ec_add(r_pt, q)
+        q1 = (q[0] ** P, q[1] ** P)
+        nq2 = (q1[0] ** P, -(q1[1] ** P))
+        push(r_pt, q1)
+        r_pt = _ec_add(r_pt, q1)
+        push(r_pt, nq2)
+
+    def miller_loop(self, p_g1) -> FQ12:
+        """Raw Miller value (NO final exponentiation)."""
+        px, py = int(p_g1[0]) % P, int(p_g1[1]) % P
+        idx = 0
+        lines = self.lines
+        f = FQ12.one()
+
+        def ev(i):
+            a, c, has_y = lines[i]
+            out = a * px + c
+            if has_y:
+                cs = list(out.coeffs)
+                cs[0] = (cs[0] - py) % P
+                out = FQ12(cs)
+            return out
+
+        for i in range(ATE_LOOP_COUNT.bit_length() - 2, -1, -1):
+            f = f * f * ev(idx)
+            idx += 1
+            if ATE_LOOP_COUNT & (1 << i):
+                f = f * ev(idx)
+                idx += 1
+        f = f * ev(idx) * ev(idx + 1)
+        return f
+
+
+def miller_loop_raw(q_g2, p_g1) -> FQ12:
+    """Miller loop WITHOUT final exponentiation (for product checks)."""
+    if p_g1 is None or q_g2 is None:
+        return FQ12.one()
+    q = _twist(q_g2)
+    p = _cast_g1(p_g1)
+    r_pt = q
+    f = FQ12.one()
+    for i in range(ATE_LOOP_COUNT.bit_length() - 2, -1, -1):
+        f = f * f * _linefunc(r_pt, r_pt, p)
+        r_pt = _ec_double(r_pt)
+        if ATE_LOOP_COUNT & (1 << i):
+            f = f * _linefunc(r_pt, q, p)
+            r_pt = _ec_add(r_pt, q)
+    q1 = (q[0] ** P, q[1] ** P)
+    nq2 = (q1[0] ** P, -(q1[1] ** P))
+    f = f * _linefunc(r_pt, q1, p)
+    r_pt = _ec_add(r_pt, q1)
+    f = f * _linefunc(r_pt, nq2, p)
+    return f
+
+
+_prepared_cache: dict = {}
+
+
+def _prepare_cached(q_g2) -> G2Prepared:
+    key = (tuple(q_g2[0].coeffs), tuple(q_g2[1].coeffs))
+    prep = _prepared_cache.get(key)
+    if prep is None:
+        prep = G2Prepared(q_g2)
+        if len(_prepared_cache) < 64:    # bounded: verification keys only
+            _prepared_cache[key] = prep
+    return prep
 
 
 def pairing_check(pairs) -> bool:
-    """prod e(P_i, Q_i) == 1 for [(p_g1, q_g2), ...]."""
+    """prod e(P_i, Q_i) == 1 for [(p_g1, q_g2), ...] — one shared final
+    exponentiation over the product of (prepared, cached) Miller loops."""
     acc = FQ12.one()
     for p_g1, q_g2 in pairs:
-        acc = acc * pairing(q_g2, p_g1)
-    return acc == FQ12.one()
+        if p_g1 is None or q_g2 is None:
+            continue
+        acc = acc * _prepare_cached(q_g2).miller_loop(p_g1)
+    return final_exponentiation(acc) == FQ12.one()

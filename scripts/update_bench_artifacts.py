@@ -72,15 +72,20 @@ def _merge_and_write(runner):
         merged[(r.suite, r.name, r.backend)] = r
 
     # Backfill mean_minus_floor_us (-1 = unset) from the measured
-    # dispatch_floor row so every device row carries the amortized
-    # column, including rows recorded before the memory suite ran
-    # (VERDICT r3 #7: separate relay floor from device capability).
-    floor_row = next((r for k, r in merged.items()
-                      if k[1] == "dispatch_floor"), None)
-    if floor_row is not None:
-        for r in merged.values():
-            if r.mean_minus_floor_us < 0 and r.name != "dispatch_floor" \
-                    and r.backend.startswith(floor_row.backend[:3]):
+    # dispatch_floor row — but only onto rows measured in THIS run
+    # (runner.results), with exact backend-prefix semantics ("tpu-"
+    # family): applying the current run's floor to historical merged
+    # rows from other machines/runs would persist derived values as if
+    # measured (ADVICE r4).
+    floor_row = next((r for r in runner.results
+                      if r.name == "dispatch_floor"), None)
+    if floor_row is not None:  # floor not re-measured: leave -1 as unset
+        fresh = {(r.suite, r.name, r.backend) for r in runner.results}
+        for key, r in merged.items():
+            if key in fresh and r.mean_minus_floor_us < 0 \
+                    and r.name != "dispatch_floor" \
+                    and r.backend.startswith("tpu-") \
+                    and floor_row.backend.startswith("tpu-"):
                 r.mean_minus_floor_us = max(
                     0.0, r.mean_us - floor_row.mean_us)
 

@@ -88,6 +88,37 @@ class TestBskCache:
         p3 = cache._path(eng2, 0)
         assert len({p1, p2, p3}) == 3
 
+    def test_schema_drift_falls_back_to_compatible_blob(self, eng, tmp_path):
+        """A default-valued TfheParams field addition moves the SHA-256
+        cache key but leaves every existing blob params-EQUAL after
+        deserialization; load() must adopt such a blob instead of
+        regenerating (the exact failure that zeroed BENCH_r04)."""
+        import os
+        cache = BootstrapKeyCache(str(tmp_path / "kc4"))
+        lwe_sk, glwe_sk, bsk = cache.get_or_generate(eng, seed=4)
+        # simulate the hash move: rename the blob to a stale hash name
+        path = cache._path(eng, 4)
+        stale = os.path.join(os.path.dirname(path), "0" * 32 + ".fheb")
+        os.rename(path, stale)
+        _, _, bsk2 = cache.load(eng, 4)
+        assert bsk2 is not None, "fallback scan missed a compatible blob"
+        assert np.array_equal(np.asarray(bsk.ggsw_i8),
+                              np.asarray(bsk2.ggsw_i8))
+        # the blob was adopted under the current hash for next time
+        assert os.path.exists(path)
+
+    def test_fallback_rejects_wrong_seed_blob(self, eng, tmp_path):
+        """A blob recorded under seed A must not satisfy a seed-B request
+        (its BSK would mismatch the secret keys load() regenerates)."""
+        import os
+        cache = BootstrapKeyCache(str(tmp_path / "kc5"))
+        cache.get_or_generate(eng, seed=4)
+        path = cache._path(eng, 4)
+        stale = os.path.join(os.path.dirname(path), "1" * 32 + ".fheb")
+        os.rename(path, stale)
+        _, _, bsk = cache.load(eng, 5)  # different seed
+        assert bsk is None
+
     def test_corrupt_entry_evicted(self, eng, tmp_path):
         cache = BootstrapKeyCache(str(tmp_path / "kc3"))
         cache.get_or_generate(eng, seed=9)

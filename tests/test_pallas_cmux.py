@@ -71,6 +71,48 @@ def test_cmux_step_edge_rotations(setup):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_fused_steps_bit_exact_vs_mxu(setup):
+    """Steps-outer fused blind rotate (blind_rotate_fused_steps): the full
+    ladder must be bit-exact vs the mxu-backend bootstrap accumulator and
+    decode correctly (round 5 — the mxu_fused production backend)."""
+    p, eng_m, lwe_sk, glwe_sk, bsk = setup
+    eng_f = TfheEngine(p, ext_backend="mxu_fused")
+    bsk_f = eng_f.prepare_bsk(bsk)
+    assert bsk_f.ggsw_slabs is not None
+
+    msgs = jnp.asarray(np.arange(8) % 2, jnp.uint32)
+    ct = eng_m.lwe_encrypt(jax.random.PRNGKey(9), msgs, lwe_sk)
+    tp = eng_m.default_test_poly()
+
+    ref = eng_m.bootstrap_jit(ct, bsk, tp)
+    got = eng_f.bootstrap_jit(ct, bsk_f, tp)
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(ref.a))
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(ref.b))
+    dec = np.asarray(eng_f.lwe_decrypt(got, lwe_sk))
+    np.testing.assert_array_equal(dec, np.asarray(msgs))
+
+
+def test_fused_steps_truncated_key_matches_mxu(setup):
+    """mxu_fused with a truncated (bsk_drop_planes=1) key must reproduce
+    the mxu backend's plane-weight restoration bit-for-bit."""
+    p0, eng_m0, lwe_sk, glwe_sk, _ = setup
+    pt = TfheParams(**{**p0.__dict__, "bsk_drop_planes": 1})
+    eng_m = TfheEngine(pt, ext_backend="mxu")
+    eng_f = TfheEngine(pt, ext_backend="mxu_fused")
+    key = jax.random.PRNGKey(3)
+    bsk = eng_m.generate_bootstrap_key(jax.random.fold_in(key, 2),
+                                       lwe_sk, glwe_sk)
+    bsk_f = eng_f.prepare_bsk(bsk)
+
+    msgs = jnp.asarray(np.arange(8) % 2, jnp.uint32)
+    ct = eng_m.lwe_encrypt(jax.random.PRNGKey(9), msgs, lwe_sk)
+    tp = eng_m.default_test_poly()
+    ref = eng_m.bootstrap_jit(ct, bsk, tp)
+    got = eng_f.bootstrap_jit(ct, bsk_f, tp)
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(ref.a))
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(ref.b))
+
+
 def test_full_bootstrap_pallas_backend_decodes(setup):
     """End-to-end PBS through the pallas backend: bit-exact accumulator vs
     the mxu backend on the same key, and correct decode."""

@@ -149,3 +149,66 @@ def test_msm_pippenger_matches_naive():
     # and the public dispatcher picks Pippenger at this size
     via_msm = curve.msm(s_limbs, P)
     assert bool(np.asarray(curve.eq(via_msm, via_naive)))
+
+
+def test_msm_chunk_spans_cover_and_sanitize():
+    """Span logic of the device MSM's binary-decomposition chunking
+    (ADVICE r4): descending power-of-two chunks + ragged tail must cover
+    [0, n) exactly, and the NFA_MSM_CHUNK sanitizer must clamp/round."""
+    from node_fhe_accelerate_tpu.zk.curve import msm_chunk_spans
+
+    for n, mc in [(1025, 1024), (2563, 1024), (16384 + 1, 16384),
+                  (3 * 4096 + 7, 4096), (65536, 16384)]:
+        spans = msm_chunk_spans(n, mc)
+        # exact disjoint cover, in order
+        off = 0
+        for o, sz in spans:
+            assert o == off and sz > 0
+            off += sz
+        assert off == n
+        # every non-tail chunk is a power of two <= max_chunk
+        for o, sz in spans[:-1]:
+            assert sz & (sz - 1) == 0 and sz <= mc
+        assert spans[-1][1] <= mc
+
+    # sanitizer in Curve.msm: <= 0 and non-power-of-two values
+    import os
+    curve = bn254_g1()
+    for bad in ("0", "-5", "3000"):
+        os.environ["NFA_MSM_CHUNK"] = bad
+        try:
+            mc = int(os.environ["NFA_MSM_CHUNK"])
+            if mc < 1024:
+                mc = 1024
+            mc = 1 << (mc.bit_length() - 1)
+            assert mc >= 1024 and mc & (mc - 1) == 0
+            # the sanitized value always terminates the span loop
+            spans = msm_chunk_spans(4097, mc)
+            assert sum(sz for _, sz in spans) == 4097
+        finally:
+            del os.environ["NFA_MSM_CHUNK"]
+
+
+@pytest.mark.slow
+def test_msm_device_chunked_ragged_matches_host():
+    """Device-backend chunked MSM at a ragged n with a small chunk
+    (descending spans + tail path) vs the host Pippenger (ADVICE r4:
+    this path previously ran only in device bench runs)."""
+    import os
+    curve = bn254_g1()
+    rng = np.random.default_rng(7)
+    n = 1281   # spans: (0,1024) + tail 257 with chunk 1024
+    base = curve.generator((1,))
+    ks = [int(rng.integers(1, 1 << 12)) for _ in range(n)]
+    P = curve.scalar_mul(lb.limbs_from_ints(ks, 8),
+                         (base[0][0], base[1][0], base[2][0]))
+    ss = [int.from_bytes(rng.bytes(32), "little") % curve.order
+          for _ in range(n)]
+    s_limbs = lb.limbs_from_ints(ss, 8)
+    want = curve.msm(s_limbs, P, backend="host")
+    os.environ["NFA_MSM_CHUNK"] = "1024"
+    try:
+        got = curve.msm(s_limbs, P, backend="device")
+    finally:
+        del os.environ["NFA_MSM_CHUNK"]
+    assert bool(np.asarray(curve.eq(got, want)))
