@@ -97,6 +97,21 @@ class TestCkksEngine:
         got = eng.decrypt(m, sk, 2)
         np.testing.assert_allclose(got, [3.0, -1.0], atol=1e-3)
 
+    def test_fused_matches_eager(self, eng_keys):
+        """The single-dispatch fused multiply (round 5, the TPU bench path)
+        is bit-identical to multiply -> relinearize -> rescale."""
+        eng, sk, pk, rlks = eng_keys
+        a = eng.encrypt(jax.random.PRNGKey(31), [0.5, -1.25, 2.0], pk)
+        b = eng.encrypt(jax.random.PRNGKey(32), [-2.0, 0.75, 1.5], pk)
+        eager = eng.multiply_relin_rescale(a, b, rlks, fused=False)
+        fused = eng.multiply_relin_rescale(a, b, rlks, fused=True)
+        assert fused.level == eager.level
+        assert fused.scale == eager.scale
+        for pf, pe in zip(fused.c0 + fused.c1, eager.c0 + eager.c1):
+            for plane_f, plane_e in zip(pf, pe):
+                np.testing.assert_array_equal(np.asarray(plane_f),
+                                              np.asarray(plane_e))
+
     def test_multiply_depth_2(self, eng_keys):
         """(a*b)*c across two rescales — the leveled story end-to-end."""
         eng, sk, pk, rlks = eng_keys
