@@ -25,13 +25,18 @@ __all__ = ["sharded_msm"]
 
 
 def sharded_msm(curve, scalar_limbs, points, mesh, axis: str = "data",
-                c: int = 8):
+                c: int = 8, _want_ici_bytes: bool = False):
     """sum_i s_i * P_i with the point set sharded over `axis`.
 
     scalar_limbs: (n, L) device limb array; points: (X, Y, Z) Jacobian
     limb arrays of leading dim n.  n pads to a multiple of the axis size
     with zero scalars * infinity (same padding rule as Curve.msm).
     Returns a single Jacobian point.
+
+    ``_want_ici_bytes=True`` returns ``(point, ici_bytes)`` where
+    ici_bytes = collective bytes in the compiled local program (from its
+    HLO) + the combine's gather of the K per-device partial points — the
+    telemetry scaling_report.collective_rows records (VERDICT r4 #7).
     """
     k = mesh.shape[axis]
     n = scalar_limbs.shape[0]
@@ -61,7 +66,16 @@ def sharded_msm(curve, scalar_limbs, points, mesh, axis: str = "data",
         out_specs=tuple(P(axis, *([None] * (points[i].ndim - 1)))
                         for i in range(3)),
     )
-    gx, gy, gz = jax.jit(f)(scalar_limbs, *points)
+    jf = jax.jit(f)
+    ici_bytes = None
+    if _want_ici_bytes:
+        from ..utils.scaling_report import _collective_ici_bytes
+        txt = jf.lower(scalar_limbs, *points).compile().as_text()
+        # the log-K combine below reads every device's partial: one
+        # all-gather of K Jacobian points (3 coords x L u32 limbs each)
+        gather = 3 * k * points[0].shape[-1] * 4
+        ici_bytes = _collective_ici_bytes(txt) + gather
+    gx, gy, gz = jf(scalar_limbs, *points)
 
     # combine K per-device partials: log2(K) halving rounds of one batched
     # Jacobian add each (the add formula is branchless, so pairing works
@@ -77,4 +91,5 @@ def sharded_msm(curve, scalar_limbs, points, mesh, axis: str = "data",
             sy = jnp.concatenate([sy, gy[-1:]])
             sz = jnp.concatenate([sz, gz[-1:]])
         gx, gy, gz = sx, sy, sz
-    return (gx[0], gy[0], gz[0])
+    result = (gx[0], gy[0], gz[0])
+    return (result, ici_bytes) if _want_ici_bytes else result

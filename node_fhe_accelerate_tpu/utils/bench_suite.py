@@ -70,6 +70,10 @@ _BASELINES = {
     "groth16_verify_2e12": 1.0 / 0.001,  # Groth16 <1ms verify, README.md:83
     "groth16_verify_2e14": 1.0 / 0.001,
     "groth16_verify_2e16": 1.0 / 0.001,
+    # Reference README voting-scale claim (README.md:756): 10k ballots/s.
+    # Aspirational anchor for the end-to-end submit path (encrypt + BP
+    # validity + Groth16 eligibility) — the reference never measures it.
+    "ballot_submit_depth20": 10_000.0,
     # Memory-suite analog (comprehensive_benchmark.cpp memory benchmarks):
     # 16 MB cache-aligned copy, 212.55 us (BENCHMARK_REPORT.md:209-217)
     # -> bytes/s.
@@ -582,6 +586,99 @@ class ComprehensiveBenchmarkRunner:
         self._record("ckks", "ckks_mul_relin_rescale_N16384",
                      jax.default_backend(), params.poly_degree, samples,
                      1, correct, batch=1, unit="mul/s (8192 slots/mul)")
+
+    def benchmark_ballot(self, depth: int = 20):
+        """End-to-end per-ballot submission latency at a realistic voter
+        scale — a depth-`depth` eligibility tree (2^20 ~= 1M registered
+        voters): one-hot encrypt + 8-bit Bulletproofs validity range proof
+        + Groth16 Poseidon-Merkle eligibility proof, the exact primitive
+        chain of VotingSystem.submit_ballot (api/voting.py:197-258;
+        VERDICT r4 next-round #8; reference anchor README.md:756).
+
+        The Merkle path is synthesized (root = fold of random siblings) —
+        identical per-ballot work to a real 2^depth-leaf tree; only the
+        untimed registration-time tree build is skipped."""
+        from ..core.params import ParameterSet, FHEScheme
+        from ..core.keys import KeyManager
+        from ..core.encrypt import EncryptionEngine
+        from ..zk.bulletproofs import (
+            BulletproofsGens, BulletproofsProver, BulletproofsVerifier)
+        from ..zk.circuits import EligibilityCircuit
+        from ..zk.groth16 import Groth16Prover, Groth16Verifier
+
+        backend = jax.default_backend()
+        # ballot encryption: the voting preset's RLWE shape
+        params = ParameterSet(
+            scheme=FHEScheme.TFHE, poly_degree=1024,
+            moduli=[1095216660481], lwe_dimension=630,
+            lwe_noise_std=3.2e-11, glwe_dimension=1,
+            decomp_base_log=23, decomp_level=1, plaintext_modulus=64)
+        eng = EncryptionEngine(params)
+        km = KeyManager(params, eng.ring)
+        sk = km.generate_secret_key(jax.random.PRNGKey(0))
+        pk = km.generate_public_key(jax.random.PRNGKey(1), sk)
+
+        from ..zk.curve import bn254_g1
+        curve = bn254_g1()
+        n_bits = 8
+        gens = BulletproofsGens.generate(curve, n_bits)
+        bp_prover = BulletproofsProver(curve)
+        bp_verifier = BulletproofsVerifier(curve)
+
+        circ = EligibilityCircuit(depth)
+        g16_prover = Groth16Prover(rng_seed=7)
+        g16_setup = g16_prover.setup(circ.r1cs)
+        g16_verifier = Groth16Verifier()
+
+        rng = np.random.default_rng(11)
+        iters = max(self.timer.iters, 3)
+        wits = []
+        for i in range(iters):
+            vid = int(rng.integers(1, 1 << 62)) | (i << 62)
+            secret = int(rng.integers(1, 1 << 62))
+            path = [int(x) for x in rng.integers(1, 1 << 62, depth)]
+            bits = [int(b) for b in rng.integers(0, 2, depth)]
+            node = circ.leaf(vid)
+            for sib, bit in zip(path, bits):
+                node = (circ.hash2_int(sib, node) if bit
+                        else circ.hash2_int(node, sib))
+            wits.append((vid, secret, path, bits, node))
+        blinds = [bp_prover.random_scalar() for _ in range(iters)]
+        choices = [int(rng.integers(0, 4)) for _ in range(iters)]
+        results = {}
+
+        def submit(i):
+            vid, secret, path, bits, root = wits[i]
+            onehot = np.zeros(4, dtype=np.uint64)
+            onehot[choices[i]] = 1
+            ct = eng.encrypt(jax.random.fold_in(jax.random.PRNGKey(5), i),
+                             onehot, pk)
+            com = bp_prover.commit(choices[i], blinds[i], gens)
+            bp = bp_prover.prove_range(choices[i], blinds[i], n_bits, gens)
+            wit = circ.generate_witness(vid, secret, path, bits, root)
+            g16 = g16_prover.prove(g16_setup, wit.assignment)
+            results[i] = (ct, com, bp, g16, wit.public_inputs)
+            return ct.c0
+
+        saved_w, saved_i = self.timer.warmup, self.timer.iters
+        self.timer.warmup, self.timer.iters = 1, iters
+        try:
+            samples = self.timer.run(submit)
+        finally:
+            self.timer.warmup, self.timer.iters = saved_w, saved_i
+
+        # verify every timed ballot end-to-end
+        ok = True
+        for i, (ct, com, bp, g16, pubs) in results.items():
+            ok = ok and bp_verifier.verify_range(com, bp, n_bits, gens)
+            ok = ok and g16_verifier.verify(g16_setup, pubs, g16)
+            dec = eng.decode(eng.phase(ct, sk), 4)
+            want = np.zeros(4, dtype=np.uint64)
+            want[choices[i]] = 1
+            ok = ok and bool(np.array_equal(dec, want))
+        self._record("pipeline", f"ballot_submit_depth{depth}", backend,
+                     depth, samples, 1, bool(ok), batch=1, unit="ballot/s",
+                     proof_bytes=0)
 
     def benchmark_pipeline(self, ballots: int = 64):
         """Encrypted-ballot tally pipeline throughput."""

@@ -35,6 +35,7 @@ STAGES = {
     "ckks": lambda r: r.benchmark_ckks(),
     "zk": lambda r: r.benchmark_zk(log_constraints=12, msm_points=4096),
     "pipeline": lambda r: r.benchmark_pipeline(),
+    "ballot": lambda r: r.benchmark_ballot(),
     "modmul": lambda r: r.benchmark_modmul(),
     "ntt": lambda r: r.benchmark_ntt(),
     "poly_mul": lambda r: r.benchmark_poly_mul(),
