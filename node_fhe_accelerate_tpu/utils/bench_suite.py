@@ -70,6 +70,9 @@ _BASELINES = {
     "groth16_verify_2e12": 1.0 / 0.001,  # Groth16 <1ms verify, README.md:83
     "groth16_verify_2e14": 1.0 / 0.001,
     "groth16_verify_2e16": 1.0 / 0.001,
+    # Reference README hom-mul claim (README.md:754): <50 ms -> 20 mul/s.
+    # (The reference never computes CKKS; its preset is BFV-on-one-modulus.)
+    "ckks_mul_relin_rescale_N16384": 20.0,
     # Reference README voting-scale claim (README.md:756): 10k ballots/s.
     # Aspirational anchor for the end-to-end submit path (encrypt + BP
     # validity + Groth16 eligibility) — the reference never measures it.

@@ -724,6 +724,27 @@ class Curve:
                       jnp.concatenate([points[1], inf[1]]),
                       jnp.concatenate([points[2], inf[2]]))
         n_pad = scalar_limbs.shape[0]
+        # Canonical small-MSM shape (round 5): every n < 256 pads to 256.
+        # The ladder is batch-parallel with a fixed 254-bit step chain, so
+        # a 2-point and a 256-point MSM cost the SAME device time — but
+        # distinct shapes each pay a minutes-scale axon remote compile of
+        # the whole-ladder program.  A Bulletproofs prove+verify alone
+        # touches sizes {2,4,8,...,256} across its IPA rounds; without
+        # canonicalization that is ~10 cold compiles (plus the dispatch
+        # race doubling them), which is what stalled the round-5 zk_ps
+        # bench refresh for 37 minutes.  One shape -> one compile.
+        traced = isinstance(scalar_limbs, jax.core.Tracer)
+        if not traced and n_pad < 256:
+            pad = 256 - n_pad
+            scalar_limbs = jnp.concatenate(
+                [scalar_limbs,
+                 jnp.zeros((pad,) + scalar_limbs.shape[1:],
+                           scalar_limbs.dtype)], axis=0)
+            inf = self.infinity((pad,))
+            points = (jnp.concatenate([points[0], inf[0]]),
+                      jnp.concatenate([points[1], inf[1]]),
+                      jnp.concatenate([points[2], inf[2]]))
+            n_pad = 256
         jit_pip = getattr(self, "_jit_pippenger", None)
         if jit_pip is None:
             jit_pip = jax.jit(self._msm_pippenger_impl,
@@ -734,7 +755,6 @@ class Curve:
         # bakes winners in, adaptive_dispatcher.h:34-70).  Outside the
         # band the winner is unambiguous; under a jit trace timing is
         # impossible, so the static min_pippenger threshold applies.
-        traced = isinstance(scalar_limbs, jax.core.Tracer)
         if not traced and 32 <= n_pad <= 1024:
             from ..utils.dispatch import global_dispatcher
             disp = global_dispatcher()
